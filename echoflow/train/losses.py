@@ -1,0 +1,209 @@
+"""CLAS-FV training losses, TPU-native.
+
+Reference semantics (src/clasfv_losses.py, src/loss_functions.py,
+src/train_test.py:33-88):
+
+  total = OTA + mean_i(SGS_i) + mean_i(OTS_i) + ED/ES supervised BCE
+
+  - OTA (`deformation_motion_loss`, clasfv_losses.py:29-57): for every
+    adjacent frame pair, warp frame t by its forward flow and frame t+1 by
+    its backward flow; MSE against the real neighbor + 0.005 x huber
+    smoothness of each flow; total / 2 / (T-1). The reference runs a Python
+    loop of 31 sequential warps — here all pairs fold into one batched warp
+    (no sequential dependency exists).
+  - SGS/OTS (`motion_seg_loss`, clasfv_losses.py:71-136): chain-warp the
+    one-hot ED label forward to the clip end and the ES label backward to
+    the start (plus ES-forward and ED-backward chains); at the ES (resp. ED)
+    arrival frame score Dice vs the true label (OTS); at every other frame
+    in range score the frame's segmentation logits against the warped
+    pseudo-label with BCE-with-logits (SGS). Chains *are* sequential, so
+    they become `lax.scan`s over time with per-sample dynamic ED/ES indices
+    handled by masking (start/stop data-dependence would break jit).
+    Normalization matches the reference exactly: SGS / ((T-2)*2), OTS / 2 —
+    constants, independent of how many terms were actually accumulated.
+  - ED/ES BCE (train_test.py:78-88): BCE-with-logits of the gathered ED/ES
+    frame logits against one-hot clinical labels, averaged over the two.
+
+All functions are pure and jit/vmap/grad-safe; fp32 recommended (the warp
+chains are 31 deep — see SURVEY.md §7.3 on backprop through chained warps).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from echoflow.ops.normalize import one_hot_channels
+from echoflow.ops.warp import warp_image_with_offsets
+
+
+def soft_dice_loss(inputs: jnp.ndarray, targets: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
+    """Flat soft Dice loss (reference clasfv_losses.py:11-26)."""
+    x = inputs.reshape(-1)
+    y = targets.reshape(-1)
+    inter = jnp.sum(x * y)
+    dice = (2.0 * inter + smooth) / (jnp.sum(x) + jnp.sum(y) + smooth)
+    return 1.0 - dice
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy with logits (torch semantics)."""
+    z = logits
+    y = targets
+    return jnp.mean(jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+
+def huber_smoothness(flow: jnp.ndarray) -> jnp.ndarray:
+    """TV-flavored smoothness penalty of a (N, 2, H, W) flow field
+    (reference loss_functions.py:66-77): sqrt(0.01 + sum(dx^2)/H +
+    sum(dy^2)/W) with the inner sums also divided by batch size."""
+    n, _, h, w = flow.shape
+    dx = flow[:, :, :, 1:] - flow[:, :, :, :-1]
+    dy = flow[:, :, 1:, :] - flow[:, :, :-1, :]
+    err = jnp.sum(dx * dx) / h + jnp.sum(dy * dy) / w
+    return jnp.sqrt(0.01 + err / n)
+
+
+def deformation_motion_loss(video: jnp.ndarray, motion: jnp.ndarray) -> jnp.ndarray:
+    """OTA loss. video (N, C, T, H, W), motion (N, 4, T, H, W) -> scalar.
+
+    Batched formulation: both warps of all (T-1) frame pairs run as one
+    (N*(T-1))-batch warp; per-pair MSE means and per-pair huber terms are
+    then reduced exactly as the reference's loop accumulates them.
+    """
+    n, c, t, h, w = video.shape
+    src_fwd = jnp.moveaxis(video[:, :, :-1], 2, 1).reshape(n * (t - 1), c, h, w)
+    src_bwd = jnp.moveaxis(video[:, :, 1:], 2, 1).reshape(n * (t - 1), c, h, w)
+    flow_fwd = jnp.moveaxis(motion[:, :2, :-1], 2, 1).reshape(n * (t - 1), 2, h, w)
+    flow_bwd = jnp.moveaxis(motion[:, 2:, 1:], 2, 1).reshape(n * (t - 1), 2, h, w)
+
+    pred_fwd = warp_image_with_offsets(src_fwd, flow_fwd)
+    pred_bwd = warp_image_with_offsets(src_bwd, flow_bwd)
+
+    # Sum over pairs of per-pair means == (T-1) * overall mean.
+    mse = (t - 1) * (jnp.mean((pred_fwd - src_bwd) ** 2) + jnp.mean((pred_bwd - src_fwd) ** 2))
+
+    # Per-pair huber: reshape back to (N, T-1, ...) and reduce pairwise.
+    def huber_per_pair(flow_pairs):
+        f = flow_pairs.reshape(n, t - 1, 2, h, w)
+        dx = f[..., :, 1:] - f[..., :, :-1]
+        dy = f[..., 1:, :] - f[..., :-1, :]
+        err = jnp.sum(dx * dx, axis=(0, 2, 3, 4)) / h + jnp.sum(dy * dy, axis=(0, 2, 3, 4)) / w
+        return jnp.sum(jnp.sqrt(0.01 + err / n))
+
+    smooth = huber_per_pair(flow_fwd) + huber_per_pair(flow_bwd)
+    return (0.005 * smooth + mse) / 2.0 / (t - 1)
+
+
+def _chain_scan(init_label, motion_flows, seg_logits, frame_ids, active_fn,
+                ots_frame, ots_target, loss_frame_offset, criterion):
+    """One masked warp chain.
+
+    init_label: (2, H, W) one-hot start label.
+    motion_flows: (S, 2, H, W) per-step flow (already ordered along the scan).
+    seg_logits: (2, T, H, W).
+    frame_ids: (S,) the reference loop's `frame_index` per step.
+    active_fn: frame_index -> bool (in-chain mask).
+    ots_frame: frame_index at which OTS fires (or -1) — at that step the
+        warped label is scored against `ots_target` with Dice instead of the
+        per-frame criterion.
+    loss_frame_offset: +1 (forward chains score frame t+1) or -1 (backward).
+    """
+
+    def step(carry, inp):
+        label = carry
+        flow, fid = inp
+        warped = warp_image_with_offsets(label[None], flow[None])[0]
+        active = active_fn(fid)
+        new_label = jnp.where(active, warped, label)
+
+        is_ots = active & (fid == ots_frame)
+        ots_term = jnp.where(is_ots, soft_dice_loss(warped, ots_target), 0.0)
+
+        frame_logits = jax.lax.dynamic_index_in_dim(
+            seg_logits, fid + loss_frame_offset, axis=1, keepdims=False
+        )  # (2, H, W)
+        sgs_term = jnp.where(active & ~is_ots, criterion(frame_logits, warped), 0.0)
+        return new_label, (sgs_term, ots_term)
+
+    _, (sgs_terms, ots_terms) = jax.lax.scan(step, init_label, (motion_flows, frame_ids))
+    return jnp.sum(sgs_terms), jnp.sum(ots_terms)
+
+
+def motion_seg_loss_single(label_ed, label_es, ed_idx, es_idx, motion, seg_logits,
+                           criterion=bce_with_logits):
+    """Per-sample SGS + OTS. label_* (H, W) int; motion (4, T, H, W);
+    seg_logits (2, T, H, W); ed_idx/es_idx scalars. Returns (sgs, ots)."""
+    t = motion.shape[1]
+    oh_ed = one_hot_channels(label_ed[None, None], 2)[0]  # (2, H, W)
+    oh_es = one_hot_channels(label_es[None, None], 2)[0]
+
+    fwd_flows = jnp.moveaxis(motion[:2, :-1], 1, 0)  # (T-1, 2, H, W), step t uses flow t
+    fwd_ids = jnp.arange(t - 1)
+    bwd_flows = jnp.moveaxis(motion[2:, 1:], 1, 0)[::-1]  # step ordering T-1 .. 1
+    bwd_ids = jnp.arange(t - 1, 0, -1)
+
+    # Forward from ED (OTS fires when arriving at ES).
+    sgs_a, ots_a = _chain_scan(
+        oh_ed, fwd_flows, seg_logits, fwd_ids,
+        lambda fid: fid >= ed_idx, es_idx - 1, oh_es, +1, criterion)
+    # Forward from ES (no OTS).
+    sgs_b, _ = _chain_scan(
+        oh_es, fwd_flows, seg_logits, fwd_ids,
+        lambda fid: fid >= es_idx, -1, oh_es, +1, criterion)
+    # Backward from ES (OTS fires when arriving at ED).
+    sgs_c, ots_c = _chain_scan(
+        oh_es, bwd_flows, seg_logits, bwd_ids,
+        lambda fid: fid <= es_idx, ed_idx + 1, oh_ed, -1, criterion)
+    # Backward from ED (no OTS).
+    sgs_d, _ = _chain_scan(
+        oh_ed, bwd_flows, seg_logits, bwd_ids,
+        lambda fid: fid <= ed_idx, -1, oh_ed, -1, criterion)
+
+    sgs = (sgs_a + sgs_b + sgs_c + sgs_d) / ((t - 2) * 2)
+    ots = (ots_a + ots_c) / 2.0
+    return sgs, ots
+
+
+def motion_seg_loss(label_ed, label_es, ed_idx, es_idx, motion, seg_logits,
+                    criterion=bce_with_logits):
+    """Batched SGS/OTS: vmap over samples, mean over the batch (the
+    reference sums per-sample losses and divides by batch size,
+    train_test.py:39-63). label_* (N, H, W) int; motion (N, 4, T, H, W);
+    seg_logits (N, 2, T, H, W); ed_idx/es_idx (N,) int arrays."""
+    fn = partial(motion_seg_loss_single, criterion=criterion)
+    sgs, ots = jax.vmap(fn)(label_ed, label_es, ed_idx, es_idx, motion, seg_logits)
+    return jnp.mean(sgs), jnp.mean(ots)
+
+
+def edes_supervised_loss(seg_logits, label_ed, label_es, ed_idx, es_idx):
+    """Supervised BCE at the clinically labeled ED/ES frames
+    (train_test.py:65-88). Returns the averaged loss and the gathered
+    (ed_logits, es_logits) for metric computation."""
+
+    def gather(logits, idx):
+        return jax.lax.dynamic_index_in_dim(logits, idx, axis=1, keepdims=False)
+
+    ed_logits = jax.vmap(gather)(seg_logits, ed_idx)  # (N, 2, H, W)
+    es_logits = jax.vmap(gather)(seg_logits, es_idx)
+    oh_ed = one_hot_channels(label_ed[:, None], 2)
+    oh_es = one_hot_channels(label_es[:, None], 2)
+    loss = (bce_with_logits(ed_logits, oh_ed) + bce_with_logits(es_logits, oh_es)) / 2.0
+    return loss, (ed_logits, es_logits)
+
+
+def clasfv_total_loss(video, seg_logits, motion, label_ed, label_es, ed_idx, es_idx):
+    """The full CLAS-FV objective (train_test.py:33-88). Returns
+    (total, aux dict)."""
+    ota = deformation_motion_loss(video, motion)
+    sgs, ots = motion_seg_loss(label_ed, label_es, ed_idx, es_idx, motion, seg_logits)
+    edes, (ed_logits, es_logits) = edes_supervised_loss(
+        seg_logits, label_ed, label_es, ed_idx, es_idx)
+    total = ota + sgs + ots + edes
+    aux = {
+        "ota": ota, "sgs": sgs, "ots": ots, "edes_bce": edes,
+        "ed_logits": ed_logits, "es_logits": es_logits,
+    }
+    return total, aux
