@@ -1,0 +1,80 @@
+"""Headline benchmark: full-video multi-beat segmentation throughput.
+
+Measures the BASELINE.md headline config — 5-shift SIMPLE-fusion full-video
+segmentation + per-beat EF — end to end (host video in, fused masks + EFs
+out) on the default backend (one TPU chip under the driver). Prints ONE
+JSON line:
+
+    {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+Baseline: the reference segments the 1,276-video EchoNet test split in
+68m46s with this config (label_fusion_compute_EF notebook cell 8) — at the
+split's ~175-frame average that is ~54 frames/sec on a CUDA GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FRAMES_PER_SEC = 54.1
+VIDEO_FRAMES = 176
+NUM_VIDEOS = 16
+NUM_CLIPS = 5
+STEP = 1
+FUSE = "simple"
+
+
+def main():
+    import jax
+
+    from echoflow.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from echoflow.data.synthetic import make_beating_video
+    from echoflow.infer.ef import compute_ef_using_putative_clips
+    from echoflow.infer.pipeline import VideoSegmenter
+    from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+
+    rng = jax.random.PRNGKey(0)
+    model = R2Plus1DMotionSegNet()
+    variables = init_variables(rng, model, (1, 3, 32, 112, 112))
+
+    # Raw uint8 videos, as they come off the decoder: normalization happens
+    # on device inside the jitted graph.
+    videos = [
+        make_beating_video(num_frames=VIDEO_FRAMES, period=38.0, seed=i)
+        .video.astype(np.uint8)
+        for i in range(4)
+    ]
+
+    segmenter = VideoSegmenter(variables, forward_chunk=10)
+
+    # Warm-up / compile.
+    seg = segmenter.segment_video(videos[0], num_clips=NUM_CLIPS, step=STEP,
+                                  fuse_method=FUSE)
+    compute_ef_using_putative_clips(seg)
+
+    t0 = time.time()
+    total_frames = 0
+    stream = (videos[i % len(videos)] for i in range(NUM_VIDEOS))
+    for seg in segmenter.segment_videos(stream, num_clips=NUM_CLIPS, step=STEP,
+                                        fuse_method=FUSE, queue_depth=3):
+        compute_ef_using_putative_clips(seg)
+        total_frames += seg.shape[0]
+    elapsed = time.time() - t0
+
+    fps = total_frames / elapsed
+    print(json.dumps({
+        "metric": "full-video 5-shift SIMPLE-fusion segmentation + EF throughput",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / REFERENCE_FRAMES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Synthetic EchoNet-Dynamic-format dataset fixtures.
+
+Writes a directory with FileList.csv, VolumeTracings.csv, and Videos/*.avi
+in the real dataset's layout so the whole data layer (CSV parsing, AVI
+decode, trace rasterization, dataset iteration) is testable without the
+access-gated real data (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from echoflow.data.synthetic import make_beating_video
+
+
+def _ellipse_chords(cy, cx, ry, rx, n_chords: int = 12):
+    """Chord rows (x1, y1, x2, y2) for an upright ellipse, echonet-style:
+    row 0 is the long axis (apex -> base), subsequent rows are perpendicular
+    chords walked along it."""
+    rows = [(cx, cy - ry, cx, cy + ry)]
+    ys = np.linspace(cy - ry, cy + ry, n_chords + 2)[1:-1]
+    for y in ys:
+        half = rx * np.sqrt(max(0.0, 1 - ((y - cy) / ry) ** 2))
+        rows.append((cx - half, y, cx + half, y))
+    return np.asarray(rows)
+
+
+def make_synthetic_echonet_root(root: str, n_videos: int = 4,
+                                num_frames: int = 80, height: int = 112,
+                                width: int = 112, seed: int = 0) -> Path:
+    import cv2
+    import pandas as pd
+
+    root = Path(root)
+    (root / "Videos").mkdir(parents=True, exist_ok=True)
+    file_rows = []
+    trace_rows = []
+    rng = np.random.RandomState(seed)
+
+    for i in range(n_videos):
+        period = float(rng.uniform(34, 46))
+        beat = make_beating_video(num_frames=num_frames, height=height,
+                                  width=width, period=period, seed=seed + i)
+        name = f"synth{i:04d}.avi"
+        writer = cv2.VideoWriter(str(root / "Videos" / name),
+                                 cv2.VideoWriter_fourcc(*"MJPG"), 50.0,
+                                 (width, height))
+        for t in range(num_frames):
+            frame = beat.video[0, t].astype(np.uint8)
+            writer.write(np.stack([frame, frame, frame], axis=-1))
+        writer.release()
+
+        ed = int(beat.ed_frames[0])
+        es_candidates = beat.es_frames[beat.es_frames > ed]
+        es = int(es_candidates[0])
+        cy, cx = height * 0.45, width * 0.5
+        base, amp = 20.0, 8.0
+        r_ed = base + amp * np.sin(2 * np.pi * ed / period)
+        r_es = base + amp * np.sin(2 * np.pi * es / period)
+        for frame_idx, r in ((ed, r_ed), (es, r_es)):
+            for (x1, y1, x2, y2) in _ellipse_chords(cy, cx, 1.6 * r, r):
+                trace_rows.append(dict(FileName=name, X1=x1, Y1=y1, X2=x2,
+                                       Y2=y2, Frame=frame_idx))
+
+        ef = (1 - (r_es / r_ed) ** 3) * 100
+        split = ["TRAIN", "VAL", "TEST"][i % 3] if n_videos >= 3 else "TRAIN"
+        file_rows.append(dict(FileName=name, EF=round(ef, 2), ESV=50.0, EDV=120.0,
+                              FrameHeight=height, FrameWidth=width, FPS=50,
+                              NumberOfFrames=num_frames, Split=split))
+
+    pd.DataFrame(file_rows).to_csv(root / "FileList.csv", index=False)
+    pd.DataFrame(trace_rows).to_csv(root / "VolumeTracings.csv", index=False)
+    return root

@@ -1,0 +1,67 @@
+"""Ejection-fraction computation from a segmented video.
+
+Exact semantics of reference `compute_ef_using_putative_clips`
+(src/fuse_utils.py:105-148): LV-area curve -> percentile trim ->
+find_peaks(distance=20, prominence=0.5*(p95-p5)) on -area (systoles) and
++area (diastoles) -> keep diastoles >= p85, prepend frame 0 if the first
+three frames average >= p85 -> nearest-prior-diastole pairing -> per-beat
+monoplane Simpson EF, negative EFs discarded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from echoflow.metrics.pairs import EDESpairs
+from echoflow.metrics.simpson import get2dPucks
+from echoflow.ops.peaks import find_peaks_1d
+
+
+def lv_area_curve(segmentations: np.ndarray) -> np.ndarray:
+    """(L, H, W) labels -> (L,) LV pixel counts. The reference sums raw
+    label values (fuse_utils.py:106); identical for binary {0,1} labels."""
+    return np.sum(segmentations, axis=(1, 2)).ravel().astype(np.float64)
+
+
+def detect_ed_es_frames(size: np.ndarray):
+    """Peak-pick the area curve. Returns (diastole_indices, systole_indices)."""
+    p05, p85, p95 = np.percentile(size, [5, 85, 95])
+    prominence = 0.50 * (p95 - p05)
+    systole = find_peaks_1d(-size, distance=20, prominence=prominence)
+    diastole = find_peaks_1d(size, distance=20, prominence=prominence)
+
+    diastole = [int(x) for x in diastole if size[x] >= p85]
+    if np.mean(size[:3]) >= p85:
+        diastole = [0] + diastole
+    return np.asarray(diastole, dtype=np.int64), np.asarray(systole, dtype=np.int64)
+
+
+def simpson_ef(mask_ed: np.ndarray, mask_es: np.ndarray) -> float:
+    """Single-beat monoplane Simpson EF in percent (fuse_utils.py:128-138)."""
+    length_ed, radius_ed = get2dPucks((mask_ed == 1).astype(int), (1.0, 1.0))
+    length_es, radius_es = get2dPucks((mask_es == 1).astype(int), (1.0, 1.0))
+    edv = np.sum(np.pi * radius_ed * radius_ed * length_ed / len(radius_ed))
+    esv = np.sum(np.pi * radius_es * radius_es * length_es / len(radius_es))
+    return float((edv - esv) / edv * 100.0)
+
+
+def compute_ef_using_putative_clips(fused_segmentations: np.ndarray,
+                                    test_pat_index=None, return_edes: bool = False):
+    """(L, H, W) label video -> list of per-beat EFs (negative EFs dropped,
+    as the reference does, fuse_utils.py:140-142)."""
+    size = lv_area_curve(fused_segmentations)
+    diastole, systole = detect_ed_es_frames(size)
+    pairs = EDESpairs(diastole, systole)
+
+    frames = fused_segmentations.reshape(-1, *fused_segmentations.shape[1:])
+    efs = []
+    for ed, es in pairs:
+        ef = simpson_ef(frames[ed], frames[es])
+        if not np.isfinite(ef) or ef < 0:
+            # The reference only drops negatives; a zero-EDV degenerate mask
+            # yields NaN there and would poison the mean — drop those too.
+            continue
+        efs.append(ef)
+    if return_edes:
+        return efs, pairs
+    return efs

@@ -1,0 +1,291 @@
+"""Full-video multi-heartbeat segmentation with shift-ensemble label fusion.
+
+Re-designs the reference inference path (src/fuse_utils.py:16-102) TPU-first.
+The reference runs, per video: a Python loop over `num_clips` time-shifted
+copies, each trilinear-resized to a multiple of 32 frames, sliced into
+32-frame clips, each clip forwarded at batch 1, softmax re-interpolated back,
+argmaxed, and finally a per-frame Python loop over ITK label fusion — ~3.2 s
+per video on a GPU.
+
+Here the whole pipeline after host video decode is ONE jitted graph:
+
+  1. Every shift's "slice + trilinear tail-stretch to round(L_k/32)*32
+     frames" is a linear map on the time axis, so it is materialized on the
+     host as a (K, T', T) matrix stack (banker's rounding preserved,
+     reference fuse_utils.py:22 `np.round(L/32)`) and applied as one einsum
+     (MXU work, no gathers).
+  2. All K shifts x C clips run through the network as one batched, chunked
+     forward (lax.map over chunks bounds peak memory).
+  3. Softmax re-interpolation to each shift's true length is the transposed
+     matrix stack, again one einsum (softmax-space interpolation,
+     reference fuse_utils.py:74-77), then argmax.
+  4. Shift alignment becomes a static gather: rater k's opinion about
+     original frame i is its local frame i - k*step
+     (reference fuse_utils.py:84-98, including frame-i's exclusion of
+     shifts with k >= i), encoded as host-built index/validity matrices.
+  5. Per-frame SIMPLE/STAPLE/majority fusion is vmapped over frames
+     (echoflow.ops.fusion), or the softmax-mean fast path fuses
+     probabilities directly.
+
+Video lengths are bucketed (padded to a multiple of 32): one compile per
+(bucket, num_clips, fuse_method) serves every video in that bucket — the
+resize/gather matrices are runtime inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from echoflow.models.r2plus1d import R2Plus1DMotionSegNet
+from echoflow.ops.fusion import fuse_frames, softmax_mean_fuse
+from echoflow.ops.normalize import zeroone_normalize
+from echoflow.ops.resize import _linear_resize_matrix_np
+
+CLIP_LEN = 32
+
+
+def round_half_even(x: float) -> int:
+    """np.round semantics (banker's rounding) — load-bearing for clip counts
+    (reference fuse_utils.py:22,29)."""
+    return int(np.round(x))
+
+
+def divide_to_consecutive_clips(video: np.ndarray, clip_length: int = CLIP_LEN,
+                                interpolate_last: bool = False) -> np.ndarray:
+    """Reference-parity host helper: (3, L, H, W) -> (N, 3, clip_length, H, W).
+
+    With interpolate_last, the whole video is trilinear-stretched
+    (align_corners=False) to round(L/clip)*clip frames first
+    (reference fuse_utils.py:16-33).
+    """
+    from echoflow.ops.resize import resize_linear
+
+    length = video.shape[1]
+    target = round_half_even(length / clip_length) * clip_length
+    src = video
+    if length % clip_length != 0 and interpolate_last:
+        src = np.asarray(resize_linear(jnp.asarray(video), 1, target, align_corners=False))
+    clips = [src[:, s: s + clip_length] for s in range(0, target, clip_length)
+             if s + clip_length <= src.shape[1]]
+    return np.stack(clips) if clips else np.empty((0, 3, clip_length, *video.shape[2:]))
+
+
+def _shift_plan(length: int, num_clips: int, step: int):
+    """Per-shift (shift_offset, L_k, L_k') exactly as the reference clamps
+    them (fuse_utils.py:38-48)."""
+    if length < CLIP_LEN + num_clips * step:
+        num_clips = (length - CLIP_LEN) // step
+    if num_clips < 1:
+        num_clips = 1
+    plan = []
+    for k in range(num_clips):
+        off = k * step
+        lk = length - off
+        lk_interp = max(CLIP_LEN, round_half_even(lk / CLIP_LEN) * CLIP_LEN)
+        plan.append((off, lk, lk_interp))
+    return plan
+
+
+def _build_host_operands(length: int, num_clips: int, step: int, t_pad: int):
+    """All data-dependent-but-host-computable pieces: the forward and
+    backward time-resize matrix stacks, the shift-alignment gather indices,
+    and validity masks. Shapes are static in (t_pad, K, C)."""
+    plan = _shift_plan(length, num_clips, step)
+    k_num = len(plan)
+    c_max = t_pad // CLIP_LEN
+
+    fwd = np.zeros((k_num, t_pad, t_pad), np.float32)   # (K, T', T)
+    bwd = np.zeros((k_num, t_pad, t_pad), np.float32)   # (K, T, T')
+    clip_valid = np.zeros((k_num, c_max), np.float32)
+    frame_valid_per_shift = np.zeros((k_num, t_pad), np.float32)
+
+    for k, (off, lk, lki) in enumerate(plan):
+        m = _linear_resize_matrix_np(lk, lki, False)     # (L_k', L_k)
+        fwd[k, :lki, off:off + lk] = m
+        if lki != lk:
+            back = _linear_resize_matrix_np(lki, lk, False)  # (L_k, L_k')
+        else:
+            back = np.eye(lk, dtype=np.float32)
+        bwd[k, :lk, :lki] = back
+        clip_valid[k, : lki // CLIP_LEN] = 1.0
+        frame_valid_per_shift[k, :lk] = 1.0
+
+    # Shift-aligned gather: rater k for original frame i is local frame
+    # i - off_k. Validity per reference fuse_utils.py:82-98: frame 0 ->
+    # shift 0 only; frame i >= 1 -> shifts k < min(i, K) with i - off_k >= 0.
+    gather_idx = np.zeros((t_pad, k_num), np.int64)
+    valid = np.zeros((t_pad, k_num), np.float32)
+    for i in range(length):
+        for k, (off, lk, _) in enumerate(plan):
+            local = i - off
+            if i == 0:
+                ok = k == 0
+            else:
+                ok = (k < min(i, k_num)) and local >= 0
+            if ok and 0 <= local < lk:
+                gather_idx[i, k] = local
+                valid[i, k] = 1.0
+    # Frames the fusion can't source from any shift fall back to shift 0
+    # (only possible for 1 <= i < step; the reference misaligns there).
+    for i in range(length):
+        if valid[i].sum() == 0:
+            gather_idx[i, 0] = i
+            valid[i, 0] = 1.0
+
+    return dict(fwd=fwd, bwd=bwd, clip_valid=clip_valid, gather_idx=gather_idx,
+                valid=valid, k_num=k_num, c_max=c_max)
+
+
+@dataclass
+class VideoSegmenter:
+    """Batched full-video segmentation engine.
+
+    Parameters
+    ----------
+    variables : flax variables for R2Plus1DMotionSegNet
+    dtype : compute dtype for the network (bf16 fast / fp32 parity)
+    forward_chunk : clips per forward chunk (bounds peak activation memory)
+    bucket : videos are padded to a multiple of this many frames; one
+        compile serves a whole bucket
+    """
+
+    variables: dict
+    dtype: object = jnp.float32
+    forward_chunk: int = 8
+    bucket: int = 64
+
+    def __post_init__(self):
+        self._model = R2Plus1DMotionSegNet(dtype=self.dtype)
+        self._compiled = {}
+
+    # ---------------------------------------------------------------- graph
+    def _graph(self, t_pad: int, k_num: int, fuse_method: str):
+        key = (t_pad, k_num, fuse_method)
+        if key in self._compiled:
+            return self._compiled[key]
+
+        c_max = t_pad // CLIP_LEN
+        n_clips = k_num * c_max
+        chunk = min(self.forward_chunk, n_clips)
+        n_chunks = -(-n_clips // chunk)
+        pad_clips = n_chunks * chunk - n_clips
+        model = self._model
+
+        @jax.jit
+        def run(variables, video, fwd, bwd, gather_idx, valid):
+            # video (3, T, H, W) uint8 or float. Ships as uint8 from the
+            # host (4x less PCIe/tunnel traffic) and is normalized on
+            # device — zeroone is idempotent, so pre-normalized floats are
+            # unchanged. Padding replicates the last frame, so the
+            # per-channel min/max are unaffected.
+            video = zeroone_normalize(video.astype(jnp.float32))
+            h, w = video.shape[2], video.shape[3]
+            # 1. shift + tail-stretch, all shifts at once (K, 3, T', H, W)
+            shifted = jnp.einsum("kst,cthw->kcshw", fwd, video,
+                                 precision="highest")
+            # 2. slice to clips: (K, C, 3, 32, H, W) -> (K*C, 3, 32, H, W)
+            clips = shifted.reshape(k_num, 3, c_max, CLIP_LEN, h, w)
+            clips = jnp.moveaxis(clips, 1, 2).reshape(n_clips, 3, CLIP_LEN, h, w)
+            if pad_clips:
+                clips = jnp.concatenate(
+                    [clips, jnp.zeros((pad_clips, *clips.shape[1:]), clips.dtype)])
+
+            def fwd_chunk(xs):
+                seg, _ = model.apply(variables, xs, train=False)
+                return jax.nn.softmax(seg, axis=1)
+
+            probs = jax.lax.map(fwd_chunk, clips.reshape(n_chunks, chunk, 3, CLIP_LEN, h, w))
+            probs = probs.reshape(-1, 2, CLIP_LEN, h, w)[:n_clips]
+
+            # 3. reassemble (K, 2, T', H, W); re-interp to true lengths.
+            probs = probs.reshape(k_num, c_max, 2, CLIP_LEN, h, w)
+            probs = jnp.moveaxis(probs, 2, 1).reshape(k_num, 2, c_max * CLIP_LEN, h, w)
+            interp = jnp.einsum("kts,kcshw->kcthw", bwd, probs,
+                                precision="highest")  # (K, 2, T, H, W)
+
+            # 4. shift-aligned rater stack (T, K, ...)
+            if fuse_method == "softmax":
+                # fast path: gather probabilities, masked mean, argmax
+                per_shift = jnp.moveaxis(interp, 2, 0)          # (T, K, 2, H, W)
+                stack = jnp.take_along_axis(
+                    per_shift, gather_idx[:, :, None, None, None], axis=0)
+                fused = jax.vmap(softmax_mean_fuse)(stack, valid)
+                return fused
+
+            labels = jnp.argmax(interp, axis=1).astype(jnp.uint8)  # (K, T, H, W)
+            per_shift = jnp.moveaxis(labels, 1, 0)                  # (T, K, H, W)
+            stack = jnp.take_along_axis(
+                per_shift, gather_idx[:, :, None, None], axis=0)
+            return fuse_frames(stack, valid, method=fuse_method)
+
+        self._compiled[key] = run
+        return run
+
+    # ----------------------------------------------------------------- api
+    def segment_video_async(self, video: np.ndarray, num_clips: int = 1,
+                            step: int = 1, fuse_method: str = "simple"):
+        """Dispatch segmentation without blocking; returns (device_array,
+        length). jax dispatch is asynchronous, so queuing several videos
+        overlaps each one's host->device transfer with the previous one's
+        compute. Call `np.asarray(result)[:length]` to materialize."""
+        length = int(video.shape[1])
+        t_pad = max(self.bucket, -(-length // self.bucket) * self.bucket)
+        ops = _build_host_operands(length, num_clips, step, t_pad)
+
+        video = np.asarray(video)
+        dtype = np.uint8 if video.dtype == np.uint8 else np.float32
+        vid = np.empty((3, t_pad, *video.shape[2:]), dtype)
+        vid[:, :length] = video
+        vid[:, length:] = video[:, -1:]  # replicate-pad: keeps min/max honest
+
+        run = self._graph(t_pad, ops["k_num"], fuse_method)
+        fused = run(self.variables, jnp.asarray(vid), jnp.asarray(ops["fwd"]),
+                    jnp.asarray(ops["bwd"]), jnp.asarray(ops["gather_idx"]),
+                    jnp.asarray(ops["valid"]))
+        return fused, length
+
+    def segment_video(self, video: np.ndarray, num_clips: int = 1, step: int = 1,
+                      fuse_method: str = "simple") -> np.ndarray:
+        """video: (3, L, 112, 112) — uint8 raw intensities (preferred; 4x
+        less host->device traffic) or float already in [0, 1]; per-channel
+        zeroone normalization happens on device either way. Returns
+        (L, 112, 112) uint8 labels. Matches the reference
+        `segment_a_video_with_fusion` contract (fuse_utils.py:36-102)."""
+        fused, length = self.segment_video_async(video, num_clips, step, fuse_method)
+        return np.asarray(jax.device_get(fused))[:length]
+
+    def segment_videos(self, videos, num_clips: int = 1, step: int = 1,
+                       fuse_method: str = "simple", queue_depth: int = 3):
+        """Segment a sequence of videos with dispatch-ahead pipelining:
+        up to `queue_depth` videos are in flight, so transfers, device
+        compute, and result fetches overlap. Yields (L, H, W) uint8 masks
+        in order."""
+        from collections import deque
+
+        inflight: deque = deque()
+        for video in videos:
+            inflight.append(self.segment_video_async(video, num_clips, step, fuse_method))
+            if len(inflight) >= queue_depth:
+                fused, length = inflight.popleft()
+                yield np.asarray(jax.device_get(fused))[:length]
+        while inflight:
+            fused, length = inflight.popleft()
+            yield np.asarray(jax.device_get(fused))[:length]
+
+
+def segment_a_video_with_fusion(video, segmenter: VideoSegmenter,
+                                interpolate_last: bool = True, step: int = 1,
+                                num_clips: int = 10, fuse_method: str = "simple",
+                                class_list=(0, 1)) -> np.ndarray:
+    """Reference-named alias (fuse_utils.py:36). `interpolate_last` and
+    `class_list` exist for signature parity; the engine always
+    tail-interpolates (the reference EF pipeline always passes True) and the
+    EchoNet task is binary."""
+    del interpolate_last, class_list
+    return segmenter.segment_video(np.asarray(video), num_clips=num_clips,
+                                   step=step, fuse_method=fuse_method)

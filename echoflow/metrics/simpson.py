@@ -84,6 +84,11 @@ def get2dPucks(abin: np.ndarray, apix, npucks: int = 10):
     center = coords.mean(axis=1, keepdims=True)
 
     boundary = find_boundaries_thick(abin)
+    if not boundary.any():
+        # A constant mask (e.g. all-foreground) has no thick boundary; the
+        # reference crashes on the empty reduction here — degrade to the
+        # same convention as its other degenerate paths instead.
+        return 0.0, np.zeros((npucks,))
     bcoords = np.stack(np.where(boundary)).astype(np.float64)
     bcoords = bcoords * np.asarray(apix, dtype=np.float64)[:, None]
     proj = (bcoords - center).T @ eigvec  # (M, 2): principal / secondary

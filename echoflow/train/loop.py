@@ -1,0 +1,163 @@
+"""Training / evaluation loops for CLAS-FV joint training.
+
+Reference recipe (train notebook cells 8-10; BASELINE.md): Adam lr 1e-4,
+batch 4, 10 epochs, manual LR drop to 1e-5 at epoch 3 (the reference
+re-creates the optimizer; here it is a piecewise-constant optax schedule),
+best-validation checkpointing. The loss is echoflow.train.losses.
+
+Data parallelism: a 1-D `data` mesh; the train step is jitted with the batch
+sharded over `data` and state replicated — XLA inserts the gradient
+all-reduce over ICI. Note this makes BatchNorm statistics global (sync-BN);
+the reference's DataParallel computed per-replica statistics. At batch 4 the
+difference is within run-to-run noise, and sync-BN is the better-behaved
+choice on a mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+from echoflow.train.losses import clasfv_total_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    lr_drop_step: int | None = None   # step index of the epoch-3 LR drop
+    lr_after_drop: float = 1e-5
+    clip_length: int = 32
+    image_size: tuple = (112, 112)
+    batch_size: int = 4
+
+
+def lr_schedule(cfg: TrainConfig):
+    """Piecewise-constant LR: the reference's manual epoch-3 optimizer
+    re-creation (train notebook cell 10) as a schedule."""
+    if cfg.lr_drop_step is None:
+        return lambda step: cfg.lr
+    return optax.piecewise_constant_schedule(
+        init_value=cfg.lr,
+        boundaries_and_scales={cfg.lr_drop_step: cfg.lr_after_drop / cfg.lr},
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(lr_schedule(cfg))
+
+
+def create_train_state(rng: jax.Array, cfg: TrainConfig,
+                       input_shape=None) -> tuple[R2Plus1DMotionSegNet, TrainState, optax.GradientTransformation]:
+    model = R2Plus1DMotionSegNet()  # fp32 for training (31-deep warp chains)
+    if input_shape is None:
+        input_shape = (1, 3, cfg.clip_length, *cfg.image_size)
+    variables = init_variables(rng, model, input_shape)
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    return model, state, tx
+
+
+def _loss_fn(params, batch_stats, model, batch):
+    (seg, motion), updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["video"], train=True, mutable=["batch_stats"],
+    )
+    total, aux = clasfv_total_loss(
+        batch["video"], seg, motion,
+        batch["ed_label"], batch["es_label"], batch["ed_idx"], batch["es_idx"],
+    )
+    return total, (aux, updates["batch_stats"])
+
+
+def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformation):
+    """Returns train_step(state, batch) -> (state, metrics). jit it with the
+    batch sharded over the mesh's `data` axis for DP."""
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (total, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, model, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": total, "ota": aux["ota"], "sgs": aux["sgs"],
+            "ots": aux["ots"], "edes_bce": aux["edes_bce"],
+            "ed_dice": _soft_lv_dice(aux["ed_logits"], batch["ed_label"]),
+            "es_dice": _soft_lv_dice(aux["es_logits"], batch["es_label"]),
+        }
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), metrics
+
+    return train_step
+
+
+def make_eval_step(model: R2Plus1DMotionSegNet):
+    def eval_step(state: TrainState, batch):
+        seg, motion = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["video"], train=False)
+        total, aux = clasfv_total_loss(
+            batch["video"], seg, motion,
+            batch["ed_label"], batch["es_label"], batch["ed_idx"], batch["es_idx"])
+        return {
+            "loss": total,
+            "ed_dice": _soft_lv_dice(aux["ed_logits"], batch["ed_label"]),
+            "es_dice": _soft_lv_dice(aux["es_logits"], batch["es_label"]),
+        }
+
+    return eval_step
+
+
+def _soft_lv_dice(logits, label, eps: float = 1e-5):
+    """Argmax LV dice of gathered ED/ES logits vs labels (the running metric
+    the reference prints, train_test.py:96-100)."""
+    pred = jnp.argmax(logits, axis=1)
+    a = (pred == 1).astype(jnp.float32)
+    b = (label == 1).astype(jnp.float32)
+    return 2.0 * jnp.sum(a * b) / (jnp.sum(a) + jnp.sum(b) + eps)
+
+
+def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
+                log_every: int = 50, log_fn=print):
+    """Simple epoch runner over iterables of host batches, DP over `mesh`.
+
+    train_batches / eval_batches: iterables yielding dicts with keys
+    video (N,3,T,H,W) f32, ed_label/es_label (N,H,W) int, ed_idx/es_idx (N,).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    bsh = NamedSharding(mesh, P("data"))
+    rsh = NamedSharding(mesh, P())
+    train_step = jax.jit(
+        make_train_step(model, tx),
+        in_shardings=(rsh, bsh), out_shardings=(rsh, rsh))
+    state = jax.device_put(state, rsh)
+
+    history = []
+    for i, batch in enumerate(train_batches, 1):
+        batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bsh), batch)
+        state, metrics = train_step(state, batch)
+        if i % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(m)
+            log_fn(f"step {i}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+    return state, history

@@ -1,0 +1,166 @@
+"""Segment and motion-track heart structures in an echo video (CLI).
+
+Flag-for-flag equivalent of the reference entry point
+(reference motion_segment.py:19-65), emitting the same artifacts
+({name}_ED_Frame_{i}_segmentation.pkl, {name}_ES_Frame_{i}_segmentation.pkl,
+{name}_whole_video_segmentation.pkl, {name}_annotated.gif — reference
+motion_segment.py:127-150), with the PyTorch/CUDA stack replaced by the
+echoflow JAX/TPU engine.
+
+Usage:
+    python motion_segment.py -p video.avi [-m weights.pth|.pkl] [-d cpu|tpu]
+        [-f num_shifts] [-s step] [--fuse_method simple|staple|majority|softmax]
+        [-c gif,binary,binary_video,all] [-o outdir] [--height 112]
+        [--width 112] [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Segment and motion track heart structure in an Echo Video")
+    ap.add_argument("-p", "--path", required=True, type=str, help="Path to the video")
+    ap.add_argument("-m", "--model", required=False, type=str,
+                    default="save_models/R2plus1DMotionSegNet_model.pth",
+                    help="Path to the saved model weights (.pth reference "
+                         "checkpoint or .pkl echoflow checkpoint)")
+    ap.add_argument("-d", "--device", required=False, type=str, default="",
+                    help="cpu forces the CPU backend; default uses the "
+                         "available accelerator (TPU). 'cuda' is accepted "
+                         "as an alias for the accelerator for reference "
+                         "compatibility")
+    ap.add_argument("--fuse_method", required=False, type=str, default="simple",
+                    help="simple | staple | majority | softmax")
+    ap.add_argument("-f", "--fuse", required=False, type=int, default=1,
+                    help="Number of shifted video copies to fuse (1 = no fusion)")
+    ap.add_argument("-s", "--step", required=False, type=int, default=1,
+                    help="Shift step between fused copies")
+    ap.add_argument("-o", "--output", required=False, type=str, default=".")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("-c", "--content", required=False, type=str, default="binary",
+                    help="gif, binary, binary_video, all (comma-separated)")
+    ap.add_argument("--height", required=False, type=int, default=112)
+    ap.add_argument("--width", required=False, type=int, default=112)
+    return ap.parse_args(argv)
+
+
+def read_video_rgb(path: str):
+    """Decode an AVI to (F, H, W, 3) uint8 RGB (host-side, cv2 — the
+    reference keeps decode on host too, motion_segment.py:80-94)."""
+    import cv2
+    import numpy as np
+
+    capture = cv2.VideoCapture(path)
+    frame_count = int(capture.get(cv2.CAP_PROP_FRAME_COUNT))
+    frames = []
+    for count in range(frame_count):
+        ret, frame = capture.read()
+        if not ret:
+            raise ValueError(f"Failed to load frame #{count} of {path}.")
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    capture.release()
+    if not frames:
+        raise ValueError(f"No frames decoded from {path}")
+    return np.stack(frames)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.device.lower() == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from echoflow.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from echoflow.infer.ef import compute_ef_using_putative_clips
+    from echoflow.infer.pipeline import VideoSegmenter
+    from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables, param_count
+    from echoflow.ops.normalize import zeroone_normalizer
+    from echoflow.ops.resize import trilinear_resize
+    from echoflow.train.checkpoint import load_model_variables
+
+    if os.path.exists(args.model):
+        variables = load_model_variables(args.model)
+    else:
+        print(f"WARNING: weights not found at {args.model}; "
+              "running with randomly initialized weights.", file=sys.stderr)
+        import jax
+
+        variables = init_variables(jax.random.PRNGKey(0),
+                                   R2Plus1DMotionSegNet(),
+                                   (1, 3, 32, args.height, args.width))
+
+    if args.verbose:
+        n_params = param_count({"params": variables["params"]})
+        print(f"R2+1D MotionNet has {n_params} parameters.")
+
+    raw = read_video_rgb(args.path)  # (F, H, W, 3) uint8
+    video = raw.transpose(3, 0, 1, 2).astype(np.float32)  # (3, F, H, W)
+
+    # Spatial resize to the model size (trilinear, align_corners=True —
+    # reference motion_segment.py:100-104), then [0,1] per-channel norm.
+    if video.shape[2:] != (args.height, args.width):
+        video = np.asarray(trilinear_resize(
+            jnp.asarray(video[None]),
+            (video.shape[1], args.height, args.width), align_corners=True))[0]
+    video = zeroone_normalizer(video)
+
+    segmenter = VideoSegmenter(variables)
+    segmentations = segmenter.segment_video(
+        video, num_clips=args.fuse, step=args.step, fuse_method=args.fuse_method)
+
+    predicted_efs, edes_pairs = compute_ef_using_putative_clips(
+        segmentations, test_pat_index=args.path, return_edes=True)
+
+    if args.verbose:
+        print("Identified {:d} systoles".format(len(predicted_efs)))
+        if predicted_efs:
+            print("\nEjection fractions measured at each systole are:")
+            for i, ef in enumerate(predicted_efs):
+                ed, es = edes_pairs[i]
+                print("Systole #{:d}: ED {:d} & ES {:d} length={:d}".format(
+                    i + 1, ed, es, es - ed))
+                print("EF: {:.2f}\n".format(ef))
+            print("The average ejection fraction is {:.2f}".format(
+                float(np.mean(predicted_efs))))
+
+    name = os.path.basename(args.path)
+    name = name[: name.rfind(".")] if "." in name else name
+    content = args.content.lower().split(",")
+    os.makedirs(args.output, exist_ok=True)
+
+    if "gif" in content or "all" in content:
+        from echoflow.utils.visualize import make_annotated_gif
+
+        make_annotated_gif(segmentations, video,
+                           filename=os.path.join(args.output, name + "_annotated.gif"))
+
+    if "binary" in content or "all" in content:
+        for ed, es in edes_pairs:
+            with open(os.path.join(
+                    args.output, name + f"_ED_Frame_{ed}_segmentation.pkl"), "wb") as f:
+                pickle.dump(segmentations[ed], f)
+            with open(os.path.join(
+                    args.output, name + f"_ES_Frame_{es}_segmentation.pkl"), "wb") as f:
+                pickle.dump(segmentations[es], f)
+
+    if "binary_video" in content or "all" in content:
+        with open(os.path.join(
+                args.output, name + "_whole_video_segmentation.pkl"), "wb") as f:
+            pickle.dump(segmentations, f)
+
+    return segmentations, predicted_efs, edes_pairs
+
+
+if __name__ == "__main__":
+    main()

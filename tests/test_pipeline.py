@@ -1,0 +1,124 @@
+"""Engine-vs-reference-algorithm parity for full-video segmentation, and the
+EF pipeline on synthetic beating videos."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from echoflow.data.synthetic import make_beating_video
+from echoflow.infer.ef import compute_ef_using_putative_clips, detect_ed_es_frames
+from echoflow.infer.pipeline import (
+    VideoSegmenter,
+    divide_to_consecutive_clips,
+    _shift_plan,
+)
+from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+from echoflow.ops.normalize import zeroone_normalizer
+from echoflow.ops.resize import resize_linear
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = R2Plus1DMotionSegNet()
+    variables = init_variables(jax.random.PRNGKey(3), model, (1, 3, 32, 32, 32))
+    # Amplify the segmentation head: a freshly initialized net outputs
+    # near-0.5 probabilities everywhere, making argmax a coin-flip on fp
+    # noise — decisive logits make the parity comparison meaningful.
+    params = variables["params"]
+    params["seg_head"]["kernel"] = params["seg_head"]["kernel"] * 50.0
+    return model, variables
+
+
+def slow_reference_pipeline(video, model, variables, num_clips, step):
+    """The reference algorithm, literally: Python loops over shifts and
+    clips, batch-1 forwards, softmax-space re-interp, argmax, per-frame
+    majority fusion with the reference's shift-collection rule
+    (fuse_utils.py:36-102)."""
+    length = video.shape[1]
+    if length < 32 + num_clips * step:
+        num_clips = (length - 32) // step
+    if num_clips < 1:
+        num_clips = 1
+
+    per_shift = []
+    for k in range(num_clips):
+        shifted = video[:, k * step:]
+        clips = divide_to_consecutive_clips(shifted, interpolate_last=True)
+        probs = []
+        for clip in clips:
+            seg, _ = model.apply(variables, jnp.asarray(clip[None]), train=False)
+            probs.append(np.asarray(jax.nn.softmax(seg, axis=1))[0])
+        flat = np.concatenate(probs, axis=1)  # (2, C*32, H, W)
+        lk = shifted.shape[1]
+        if lk % 32 != 0:
+            flat = np.asarray(resize_linear(jnp.asarray(flat), 1, lk, align_corners=False))
+        per_shift.append(np.argmax(flat, axis=0).astype(np.uint8))
+
+    fused = [per_shift[0][0]]
+    for i in range(1, length):
+        cand = []
+        for k in range(min(i, num_clips)):
+            if i - k * step < 0:
+                break
+            cand.append(per_shift[k][i - k * step])
+        if len(cand) == 1:
+            fused.append(cand[0])
+        else:
+            votes = np.mean(np.stack(cand), axis=0)
+            fused.append((votes > 0.5).astype(np.uint8))
+    return np.stack(fused)
+
+
+@pytest.mark.parametrize("length,num_clips,step", [(45, 2, 1), (64, 2, 1), (64, 1, 1)])
+def test_engine_matches_reference_algorithm(tiny_model, length, num_clips, step):
+    model, variables = tiny_model
+    beat = make_beating_video(num_frames=length, height=32, width=32, period=20.0, seed=1)
+    video = zeroone_normalizer(beat.video.copy())
+
+    want = slow_reference_pipeline(video, model, variables, num_clips, step)
+    seg = VideoSegmenter(variables, forward_chunk=4, bucket=32)
+    got = seg.segment_video(video, num_clips=num_clips, step=step, fuse_method="majority")
+    assert got.shape == (length, 32, 32)
+    # Allow a <=0.1% pixel budget for argmax near-ties: the engine and the
+    # loop-based reference path reduce in different orders, and pixels whose
+    # class probabilities are within fp noise of 0.5 can flip either way.
+    mismatch = (got != want).mean()
+    assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
+
+
+def test_shift_plan_clamps_like_reference():
+    # L=40, 5 shifts of step 4 -> reference clamps to (40-32)//4 = 2
+    assert len(_shift_plan(40, 5, 4)) == 2
+    # Very short video -> 1 shift
+    assert len(_shift_plan(33, 5, 1)) == 1
+    # Plenty of frames -> all shifts
+    assert len(_shift_plan(200, 5, 1)) == 5
+
+
+def test_divide_to_consecutive_clips_rounding():
+    video = np.random.RandomState(0).rand(3, 48, 8, 8).astype(np.float32)
+    # round(48/32) = round(1.5) = 2 (banker's) -> 64 frames -> 2 clips
+    clips = divide_to_consecutive_clips(video, interpolate_last=True)
+    assert clips.shape == (2, 3, 32, 8, 8)
+    # 45 frames: round(1.406) = 1 -> 1 clip
+    video = np.random.RandomState(0).rand(3, 45, 8, 8).astype(np.float32)
+    clips = divide_to_consecutive_clips(video, interpolate_last=True)
+    assert clips.shape == (1, 3, 32, 8, 8)
+
+
+def test_ef_pipeline_on_ground_truth_masks():
+    beat = make_beating_video(num_frames=120, period=40.0, amplitude=9.0, seed=0)
+    masks = beat.masks.astype(np.uint8)
+    efs, pairs = compute_ef_using_putative_clips(masks, return_edes=True)
+    assert len(efs) >= 2  # 120 frames / period 40 = 3 beats, edges may drop one
+    # EF of r 29 -> 11 ellipse: volumes scale ~ r^3-ish; EF is large & positive.
+    for ef in efs:
+        assert 50 < ef < 100
+    dia, sys_ = detect_ed_es_frames(np.sum(masks, axis=(1, 2)).astype(np.float64))
+    # Detected extrema should be near the constructed ones (within 2 frames).
+    for d in dia:
+        assert min(abs(int(d) - beat.ed_frames)) <= 2 or d == 0
+    for s in sys_:
+        assert min(abs(int(s) - beat.es_frames)) <= 2

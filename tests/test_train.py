@@ -1,0 +1,93 @@
+"""Train-loop tests: loss decreases on synthetic data, LR schedule parity,
+checkpoint roundtrip, and the multi-chip DP dry run on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from echoflow.train.checkpoint import load_checkpoint, save_checkpoint
+from echoflow.train.loop import (
+    TrainConfig,
+    create_train_state,
+    lr_schedule,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _tiny_batch(n=2, t=8, h=32, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    ed_label = (((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= (h / 3) ** 2).astype(np.int32)
+    es_label = (((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= (h / 6) ** 2).astype(np.int32)
+    video = np.empty((n, 3, t, h, w), np.float32)
+    for i in range(n):
+        for k in range(t):
+            r = (h / 3) - (h / 6) * k / (t - 1)
+            m = (((yy - h / 2) ** 2 + (xx - w / 2) ** 2) <= r * r)
+            video[i, :, k] = 0.2 + 0.6 * m + 0.05 * rng.randn(h, w)
+    return {
+        "video": jnp.asarray(np.clip(video, 0, 1)),
+        "ed_label": jnp.asarray(np.stack([ed_label] * n)),
+        "es_label": jnp.asarray(np.stack([es_label] * n)),
+        "ed_idx": jnp.zeros((n,), jnp.int32),
+        "es_idx": jnp.full((n,), t - 1, jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = TrainConfig(lr=1e-3, clip_length=8, image_size=(32, 32), batch_size=2)
+    model, state, tx = create_train_state(
+        jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 8, 32, 32))
+    return cfg, model, state, tx
+
+
+def test_train_step_reduces_loss(tiny_setup):
+    cfg, model, state, tx = tiny_setup
+    step = jax.jit(make_train_step(model, tx))
+    batch = _tiny_batch()
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
+
+
+def test_eval_step_runs(tiny_setup):
+    cfg, model, state, tx = tiny_setup
+    ev = jax.jit(make_eval_step(model))
+    metrics = ev(state, _tiny_batch(seed=1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["ed_dice"]) <= 1.0
+
+
+def test_lr_schedule_drop():
+    cfg = TrainConfig(lr=1e-4, lr_drop_step=100, lr_after_drop=1e-5)
+    sched = lr_schedule(cfg)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(99)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(101)), 1e-5, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    cfg, model, state, tx = tiny_setup
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(path, state, extra={"epoch": 3})
+    loaded, extra = load_checkpoint(path)
+    assert extra["epoch"] == 3
+    orig = jax.tree.leaves(jax.tree.map(np.asarray, jax.device_get(state)))
+    back = jax.tree.leaves(loaded)
+    assert len(orig) == len(back)
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
