@@ -21,7 +21,7 @@ import numpy as np
 
 REFERENCE_FRAMES_PER_SEC = 54.1
 VIDEO_FRAMES = 176
-NUM_VIDEOS = 16
+NUM_VIDEOS = 32
 NUM_CLIPS = 5
 STEP = 1
 FUSE = "simple"
@@ -62,7 +62,7 @@ def main():
     total_frames = 0
     stream = (videos[i % len(videos)] for i in range(NUM_VIDEOS))
     for seg in segmenter.segment_videos(stream, num_clips=NUM_CLIPS, step=STEP,
-                                        fuse_method=FUSE, queue_depth=3):
+                                        fuse_method=FUSE, queue_depth=4):
         compute_ef_using_putative_clips(seg)
         total_frames += seg.shape[0]
     elapsed = time.time() - t0

@@ -1,0 +1,165 @@
+"""EF + Dice benchmark over a dataset split — the real-entry-point
+equivalent of the reference's evaluation notebooks
+(`echonet_dynamic_compute_EF_and_dice.ipynb` — no fusion — and
+`label_fusion_compute_EF_and_dice_on_echonet_interpolate_on_softmax.ipynb`
+— num_clips=5/step=1/SIMPLE).
+
+Aggregates printed are the parity-defining formulas (BASELINE.md):
+  EF MAE (sigma), median |err|, bias +/- 1.96 sigma, |err| percentiles
+  50/75/95, Pearson r, and ED/ES LV Dice vs clinical traces at the
+  reported frames.
+
+    python benchmarks/run_ef_benchmark.py --data /path/to/EchoNet-Dynamic \
+        [--split test] [--fuse 5] [--step 1] [--fuse-method simple] \
+        [--model save_models/clasfv.pkl] [--limit N]
+    python benchmarks/run_ef_benchmark.py --synthetic --limit 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description="EF/Dice benchmark")
+    ap.add_argument("--data", type=str, default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--split", type=str, default="test")
+    ap.add_argument("--model", type=str, default=None)
+    ap.add_argument("--fuse", type=int, default=1, help="num shifted copies (1 = no fusion)")
+    ap.add_argument("--step", type=int, default=1)
+    ap.add_argument("--fuse-method", type=str, default="simple")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--out", type=str, default=None, help="write JSON results here")
+    return ap.parse_args(argv)
+
+
+def ef_aggregates(pred: "np.ndarray", true: "np.ndarray") -> dict:
+    import numpy as np
+
+    if len(pred) == 0:
+        return {"n": 0}
+    err = pred - true
+    abs_err = np.abs(err)
+    return {
+        "n": int(len(pred)),
+        "mae": float(abs_err.mean()),
+        "mae_std": float(abs_err.std()),
+        "median_abs_err": float(np.median(abs_err)),
+        "bias": float(err.mean()),
+        "loa_1p96_sigma": float(1.96 * err.std()),
+        "abs_err_p50_p75_p95": [float(x) for x in np.percentile(abs_err, [50, 75, 95])],
+        "pearson_r": float(np.corrcoef(pred, true)[0, 1]) if len(pred) > 1 else None,
+    }
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from echoflow.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import numpy as np
+
+    from echoflow.infer.ef import compute_ef_using_putative_clips
+    from echoflow.infer.pipeline import VideoSegmenter
+    from echoflow.metrics.dice import lv_dice
+    from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+
+    if args.model:
+        from echoflow.train.checkpoint import load_model_variables
+
+        variables = load_model_variables(args.model)
+    else:
+        print("WARNING: no --model given; using random weights "
+              "(pipeline-mechanics benchmark only)", file=sys.stderr)
+        variables = init_variables(jax.random.PRNGKey(0), R2Plus1DMotionSegNet())
+
+    segmenter = VideoSegmenter(variables)
+
+    # ---------------------------------------------------------------- data
+    if args.synthetic:
+        from echoflow.data.synthetic import make_beating_video
+
+        def samples():
+            n = args.limit or 8
+            for i in range(n):
+                period = 34 + (i % 5) * 3
+                beat = make_beating_video(num_frames=160, period=period, seed=i)
+                ed = int(beat.ed_frames[0])
+                es = int(beat.es_frames[beat.es_frames > ed][0])
+                r_ed, r_es = (20 + 8 * np.sin(2 * np.pi * t / period) for t in (ed, es))
+                true_ef = (1 - (r_es / r_ed) ** 3) * 100
+                yield (f"synth{i}", beat.video.astype(np.uint8), float(true_ef),
+                       ed, es, beat.masks[ed], beat.masks[es])
+    else:
+        if args.data is None:
+            raise SystemExit("pass --data or --synthetic")
+        from echoflow.data.echonet import EchoNetDynamicDataset
+
+        ds = EchoNetDynamicDataset(args.data, split=args.split, clip_length="full",
+                                   raise_for_es_ed=False)
+
+        def samples():
+            n = len(ds) if args.limit is None else min(args.limit, len(ds))
+            for i in range(n):
+                try:
+                    video, (fname, ef, es_ci, ed_ci, *_r, es_lab, ed_lab) = ds[i]
+                except Exception as exc:
+                    print(f"Get exception when trying to read sample {i}: {exc}")
+                    continue
+                yield fname, video, float(ef), int(ed_ci), int(es_ci), ed_lab, es_lab
+
+    # ---------------------------------------------------------------- loop
+    pred_efs, true_efs = [], []
+    ed_dices, es_dices = [], []
+    skipped = 0
+    tic = time.time()
+    total_frames = 0
+    for name, video, true_ef, ed_i, es_i, ed_lab, es_lab in samples():
+        seg = segmenter.segment_video(video, num_clips=args.fuse, step=args.step,
+                                      fuse_method=args.fuse_method)
+        total_frames += seg.shape[0]
+        efs = compute_ef_using_putative_clips(seg)
+        if not efs:
+            skipped += 1
+            continue
+        pred_efs.append(float(np.mean(efs)))
+        true_efs.append(true_ef)
+        ed_dices.append(lv_dice(seg[ed_i], ed_lab))
+        es_dices.append(lv_dice(seg[es_i], es_lab))
+    elapsed = time.time() - tic
+
+    def dice_stats(vals):
+        if not vals:
+            return {"n": 0}
+        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
+                "median": float(np.median(vals))}
+
+    results = {
+        "config": {"fuse": args.fuse, "step": args.step,
+                   "fuse_method": args.fuse_method,
+                   "split": args.split, "synthetic": args.synthetic},
+        "ef": ef_aggregates(np.asarray(pred_efs), np.asarray(true_efs)),
+        "skipped_no_beats": skipped,
+        "ed_lv_dice": dice_stats(ed_dices),
+        "es_lv_dice": dice_stats(es_dices),
+        "wall_clock_sec": round(elapsed, 1),
+        "frames_per_sec": round(total_frames / elapsed, 1),
+    }
+    print(json.dumps(results, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,8 @@ def simpson_ef(mask_ed: np.ndarray, mask_es: np.ndarray) -> float:
     length_es, radius_es = get2dPucks((mask_es == 1).astype(int), (1.0, 1.0))
     edv = np.sum(np.pi * radius_ed * radius_ed * length_ed / len(radius_ed))
     esv = np.sum(np.pi * radius_es * radius_es * length_es / len(radius_es))
-    return float((edv - esv) / edv * 100.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float((edv - esv) / edv * 100.0)
 
 
 def compute_ef_using_putative_clips(fused_segmentations: np.ndarray,

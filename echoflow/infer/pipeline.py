@@ -49,6 +49,23 @@ from echoflow.ops.resize import _linear_resize_matrix_np
 CLIP_LEN = 32
 
 
+def _packbits(mask: "jnp.ndarray") -> "jnp.ndarray":
+    """Bit-pack a binary (T, H, W) uint8 mask along W (8 pixels/byte) to cut
+    device->host traffic 8x; inverse is `_unpackbits`. No-op if W % 8 != 0."""
+    t, h, w = mask.shape
+    if w % 8 != 0:
+        return mask
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    grouped = mask.reshape(t, h, w // 8, 8)
+    return jnp.sum(grouped * weights, axis=-1, dtype=jnp.uint8)
+
+
+def _unpackbits(packed: np.ndarray, width: int) -> np.ndarray:
+    if packed.shape[-1] == width:
+        return packed
+    return np.unpackbits(packed, axis=-1)[..., :width]
+
+
 def round_half_even(x: float) -> int:
     """np.round semantics (banker's rounding) — load-bearing for clip counts
     (reference fuse_utils.py:22,29)."""
@@ -162,6 +179,7 @@ class VideoSegmenter:
     def __post_init__(self):
         self._model = R2Plus1DMotionSegNet(dtype=self.dtype)
         self._compiled = {}
+        self._operand_cache = {}
 
     # ---------------------------------------------------------------- graph
     def _graph(self, t_pad: int, k_num: int, fuse_method: str):
@@ -215,13 +233,14 @@ class VideoSegmenter:
                 stack = jnp.take_along_axis(
                     per_shift, gather_idx[:, :, None, None, None], axis=0)
                 fused = jax.vmap(softmax_mean_fuse)(stack, valid)
-                return fused
+                return _packbits(fused)
 
             labels = jnp.argmax(interp, axis=1).astype(jnp.uint8)  # (K, T, H, W)
             per_shift = jnp.moveaxis(labels, 1, 0)                  # (T, K, H, W)
             stack = jnp.take_along_axis(
                 per_shift, gather_idx[:, :, None, None], axis=0)
-            return fuse_frames(stack, valid, method=fuse_method)
+            fused = fuse_frames(stack, valid, method=fuse_method)
+            return _packbits(fused)
 
         self._compiled[key] = run
         return run
@@ -235,7 +254,17 @@ class VideoSegmenter:
         compute. Call `np.asarray(result)[:length]` to materialize."""
         length = int(video.shape[1])
         t_pad = max(self.bucket, -(-length // self.bucket) * self.bucket)
-        ops = _build_host_operands(length, num_clips, step, t_pad)
+
+        # Device-resident operand cache: videos of the same length reuse the
+        # same resize/gather/validity tensors with zero re-transfer.
+        okey = (length, num_clips, step, t_pad)
+        if okey not in self._operand_cache:
+            ops = _build_host_operands(length, num_clips, step, t_pad)
+            self._operand_cache[okey] = (
+                ops["k_num"],
+                tuple(jnp.asarray(ops[k]) for k in ("fwd", "bwd", "gather_idx", "valid")),
+            )
+        k_num, dev_ops = self._operand_cache[okey]
 
         video = np.asarray(video)
         dtype = np.uint8 if video.dtype == np.uint8 else np.float32
@@ -243,11 +272,9 @@ class VideoSegmenter:
         vid[:, :length] = video
         vid[:, length:] = video[:, -1:]  # replicate-pad: keeps min/max honest
 
-        run = self._graph(t_pad, ops["k_num"], fuse_method)
-        fused = run(self.variables, jnp.asarray(vid), jnp.asarray(ops["fwd"]),
-                    jnp.asarray(ops["bwd"]), jnp.asarray(ops["gather_idx"]),
-                    jnp.asarray(ops["valid"]))
-        return fused, length
+        run = self._graph(t_pad, k_num, fuse_method)
+        fused = run(self.variables, jnp.asarray(vid), *dev_ops)
+        return fused, (length, int(video.shape[3]))
 
     def segment_video(self, video: np.ndarray, num_clips: int = 1, step: int = 1,
                       fuse_method: str = "simple") -> np.ndarray:
@@ -256,8 +283,8 @@ class VideoSegmenter:
         zeroone normalization happens on device either way. Returns
         (L, 112, 112) uint8 labels. Matches the reference
         `segment_a_video_with_fusion` contract (fuse_utils.py:36-102)."""
-        fused, length = self.segment_video_async(video, num_clips, step, fuse_method)
-        return np.asarray(jax.device_get(fused))[:length]
+        fused, (length, width) = self.segment_video_async(video, num_clips, step, fuse_method)
+        return _unpackbits(np.asarray(jax.device_get(fused)), width)[:length]
 
     def segment_videos(self, videos, num_clips: int = 1, step: int = 1,
                        fuse_method: str = "simple", queue_depth: int = 3):
@@ -268,14 +295,17 @@ class VideoSegmenter:
         from collections import deque
 
         inflight: deque = deque()
+
+        def fetch(item):
+            fused, (length, width) = item
+            return _unpackbits(np.asarray(jax.device_get(fused)), width)[:length]
+
         for video in videos:
             inflight.append(self.segment_video_async(video, num_clips, step, fuse_method))
             if len(inflight) >= queue_depth:
-                fused, length = inflight.popleft()
-                yield np.asarray(jax.device_get(fused))[:length]
+                yield fetch(inflight.popleft())
         while inflight:
-            fused, length = inflight.popleft()
-            yield np.asarray(jax.device_get(fused))[:length]
+            yield fetch(inflight.popleft())
 
 
 def segment_a_video_with_fusion(video, segmenter: VideoSegmenter,

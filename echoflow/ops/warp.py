@@ -77,14 +77,28 @@ def warp_bilinear_border(image: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.nd
     return top + (bot - top) * fy
 
 
-def warp_image_with_offsets(image: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+def warp_nearest_border(image: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor sampling (grid_sample mode='nearest' semantics:
+    round-half-to-even of the unnormalized coordinate, border clamp)."""
+    n, c, h, w = image.shape
+    px = ((grid_x + 1.0) * w - 1.0) * 0.5
+    py = ((grid_y + 1.0) * h - 1.0) * 0.5
+    xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, h - 1)
+    flat = image.reshape(n, c, h * w)
+    idx = (yi * w + xi).reshape(n, h * w)
+    return _gather_hw(flat, idx).reshape(n, c, h, w)
+
+
+def warp_image_with_offsets(image: jnp.ndarray, offsets: jnp.ndarray,
+                            mode: str = "bilinear") -> jnp.ndarray:
     """Warp `image` (N, C, H, W) by a 2-channel motion field (N, 2, H, W).
 
     offsets[:, 0] displaces x (width), offsets[:, 1] displaces y (height),
     in normalized [-1, 1] units (the model's tanh-bounded motion output).
     Equivalent to the reference's
     `F.grid_sample(image, generate_2dmotion_field(image, offsets),
-                   align_corners=False, padding_mode='border')`.
+                   align_corners=False, mode=mode, padding_mode='border')`.
     """
     _, _, h, w = image.shape
     # Base grid computed in float64 then cast: minimizes ULP drift vs
@@ -94,6 +108,8 @@ def warp_image_with_offsets(image: jnp.ndarray, offsets: jnp.ndarray) -> jnp.nda
     base_y = jnp.asarray(np.linspace(-1.0, 1.0, h), dtype=offsets.dtype)
     grid_x = base_x[None, None, :] + offsets[:, 0]
     grid_y = base_y[None, :, None] + offsets[:, 1]
+    if mode == "nearest":
+        return warp_nearest_border(image, grid_x, grid_y)
     return warp_bilinear_border(image, grid_x, grid_y)
 
 

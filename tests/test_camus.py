@@ -1,0 +1,118 @@
+"""CAMUS legacy losses vs torch reimplementations of the reference math,
+plus cleanup ops."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from echoflow.train.camus_losses import (
+    class_dice_loss,
+    cross_correlation,
+    cross_entropy,
+    get_weights,
+    local_cross_correlation,
+    ota_loss,
+    sga_loss,
+    sgs_ots_loss,
+    smoothness_loss,
+)
+from echoflow.ops.normalize import one_hot_channels
+from echoflow.utils.cleanup import cleanup_binary, cleanup_segmentation
+
+
+def t_local_ncc(template, source, n=4):
+    t = template.clone()
+    s = source.clone()
+    win = template.shape[-1] // n
+    for r in range(0, template.shape[-2], win):
+        for c in range(0, template.shape[-1], win):
+            t[:, :, r:r + win, c:c + win] -= torch.mean(t[:, :, r:r + win, c:c + win])
+            s[:, :, r:r + win, c:c + win] -= torch.mean(s[:, :, r:r + win, c:c + win])
+    corr = torch.sum(t * s, dim=(3, 2)) / (
+        torch.sqrt(torch.sum(t * t, dim=(3, 2))) * torch.sqrt(torch.sum(s * s, dim=(3, 2))))
+    return torch.mean(corr)
+
+
+def test_local_ncc_matches_torch(rng):
+    a = rng.rand(2, 1, 16, 16).astype(np.float32)
+    b = (a + 0.1 * rng.randn(2, 1, 16, 16)).astype(np.float32)
+    ours = float(local_cross_correlation(jnp.asarray(a), jnp.asarray(b), 4))
+    theirs = float(t_local_ncc(torch.from_numpy(a), torch.from_numpy(b), 4))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4)
+
+
+def test_cross_correlation_self_is_one(rng):
+    a = rng.rand(2, 3, 8, 8).astype(np.float32)
+    cc = np.asarray(cross_correlation(jnp.asarray(a), jnp.asarray(a)))
+    # Global demeaning (not per-plane) means self-correlation is close to,
+    # but not exactly, 1 — matching the reference's formula.
+    assert np.all(cc > 0.9)
+
+
+def test_smoothness_matches_torch(rng):
+    x = rng.randn(2, 2, 12, 12).astype(np.float32)
+    tx = torch.from_numpy(x)
+    dy = tx[:, 0, 1:, :-1] - tx[:, 0, :-1, :-1]
+    dx = tx[:, 1, :-1, 1:] - tx[:, 1, :-1, :-1]
+    want = float(torch.mean(dx ** 2 + dy ** 2))
+    got = float(smoothness_loss(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.randn(2, 4, 8, 8).astype(np.float32)
+    labels = rng.randint(0, 4, (2, 8, 8)).astype(np.int32)
+    want = float(F.cross_entropy(torch.from_numpy(logits),
+                                 torch.from_numpy(labels).long()))
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_class_dice_perfect_prediction(rng):
+    labels = rng.randint(0, 4, (2, 8, 8)).astype(np.int32)
+    oh = one_hot_channels(jnp.asarray(labels[:, None]), 4)
+    for k in range(4):
+        loss = float(class_dice_loss(oh, oh, k))
+        assert loss < 1e-6
+
+
+def test_ota_sga_sgs_run_and_are_finite(rng):
+    n, t, h, w = 1, 10, 16, 16
+    video = jnp.asarray(rng.rand(n, 1, t, h, w), jnp.float32)
+    motion = jnp.asarray(0.05 * rng.randn(n, 4, t, h, w), jnp.float32)
+    seg_logits = jnp.asarray(rng.randn(n, 4, t, h, w), jnp.float32)
+    seg_softmax = jnp.asarray(np.exp(seg_logits) / np.exp(seg_logits).sum(1, keepdims=True))
+    labels = jnp.asarray(rng.randint(0, 4, (n, h, w)), jnp.int32)
+
+    ota = float(ota_loss(video, motion))
+    sga = float(sga_loss(labels, labels, seg_logits, seg_softmax))
+    sgs, ots = sgs_ots_loss(labels, labels, motion, seg_softmax)
+    for v in (ota, sga, float(sgs), float(ots)):
+        assert np.isfinite(v)
+    # weighted class weights sum to ~1
+    w_ = get_weights(labels, True)
+    assert abs(sum(float(v) for v in w_.values()) - 1.0) < 1e-5
+
+
+def test_cleanup_binary_keeps_largest_and_fills():
+    mask = np.zeros((20, 20), np.uint8)
+    mask[2:10, 2:10] = 1
+    mask[5, 5] = 0          # hole
+    mask[15:17, 15:17] = 1  # small spurious component
+    out = cleanup_binary(mask)
+    assert out[5, 5] == 1           # hole filled
+    assert out[15, 15] == 0         # small CC removed
+    assert out[3, 3] == 1
+
+
+def test_cleanup_segmentation_per_class():
+    lab = np.zeros((2, 16, 16), np.uint8)
+    lab[:, 2:8, 2:8] = 1
+    lab[:, 12:14, 12:14] = 1  # spurious LV blob
+    lab[:, 9:11, 2:6] = 2
+    out = cleanup_segmentation(lab, num_classes=3)
+    assert (out[:, 12:14, 12:14] == 0).all()
+    assert (out[:, 3, 3] == 1).all() and (out[:, 9, 3] == 2).all()

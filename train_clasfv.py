@@ -1,0 +1,170 @@
+"""CLAS-FV joint training driver.
+
+The real-entry-point equivalent of the reference's training notebook
+(`echonet_dynamic_R2plus1D_CLAS_FV_train_test.ipynb`): EchoNet-Dynamic
+random ED..ES 32-frame windows, Adam lr 1e-4 with the manual drop to 1e-5
+at epoch 3, batch 4, 10 epochs, best-validation checkpoint. Runs on the
+pinned reference folds when given `--folds /root/reference/fold_indexes`,
+or on synthetic fixtures (`--synthetic`) when the gated dataset is absent.
+
+    python train_clasfv.py --data /path/to/EchoNet-Dynamic \
+        [--folds fold_indexes_dir] [--epochs 10] [--batch-size 4] \
+        [--out save_models/clasfv.pkl]
+    python train_clasfv.py --synthetic --steps 50   # smoke-scale run
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description="Train CLAS-FV on EchoNet-Dynamic")
+    ap.add_argument("--data", type=str, default=None, help="EchoNet-Dynamic root")
+    ap.add_argument("--folds", type=str, default=None,
+                    help="dir with stanford_{train,valid}_sampled_indices pickles")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on synthetic beating-heart fixtures")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="cap steps per epoch (smoke runs)")
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-drop-epoch", type=int, default=3)
+    ap.add_argument("--lr-after-drop", type=float, default=1e-5)
+    ap.add_argument("--clip-length", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=112)
+    ap.add_argument("--out", type=str, default="save_models/clasfv_checkpoint.pkl")
+    ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=0)
+    return ap.parse_args(argv)
+
+
+def synthetic_batches(batch_size, clip_length, image_size, steps, seed):
+    """Endless synthetic training batches (see echoflow.data.synthetic)."""
+    import numpy as np
+
+    from echoflow.data.synthetic import make_training_sample
+
+    for step in range(steps):
+        samples = [
+            make_training_sample(clip_length, image_size, image_size,
+                                 seed=seed + step * batch_size + i)
+            for i in range(batch_size)
+        ]
+        yield {
+            "video": np.stack([s["video"] for s in samples]).astype(np.float32),
+            "ed_label": np.stack([s["ed_label"] for s in samples]).astype(np.int32),
+            "es_label": np.stack([s["es_label"] for s in samples]).astype(np.int32),
+            "ed_idx": np.asarray([s["ed_idx"] for s in samples], np.int32),
+            "es_idx": np.asarray([s["es_idx"] for s in samples], np.int32),
+        }
+
+
+def echonet_batches(dataset, batch_size, steps=None):
+    """Batches from EchoNetDynamicDataset, skipping unusable samples the way
+    the reference's loader does (ad-hoc guards, SURVEY.md §5)."""
+    import numpy as np
+
+    buf = []
+    count = 0
+    for i in range(len(dataset)):
+        try:
+            video, (filename, ef, es_ci, ed_ci, *_rest, es_lab, ed_lab) = dataset[i]
+        except Exception as exc:  # unreadable video / bad ED-ES, as reference
+            print(f"skipping sample {i}: {exc}")
+            continue
+        buf.append((video, ed_lab, es_lab, ed_ci, es_ci))
+        if len(buf) == batch_size:
+            yield {
+                "video": np.stack([b[0] for b in buf]).astype(np.float32),
+                "ed_label": np.stack([b[1] for b in buf]).astype(np.int32),
+                "es_label": np.stack([b[2] for b in buf]).astype(np.int32),
+                "ed_idx": np.asarray([b[3] for b in buf], np.int32),
+                "es_idx": np.asarray([b[4] for b in buf], np.int32),
+            }
+            buf = []
+            count += 1
+            if steps is not None and count >= steps:
+                return
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from echoflow.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import numpy as np
+
+    from echoflow.parallel.mesh import data_mesh
+    from echoflow.train.checkpoint import save_checkpoint
+    from echoflow.train.loop import (
+        TrainConfig, create_train_state, fit_on_mesh, make_eval_step)
+
+    if not args.synthetic and args.data is None:
+        raise SystemExit("pass --data <EchoNet root> or --synthetic")
+
+    steps_per_epoch = args.steps or (7332 // args.batch_size)
+    cfg = TrainConfig(
+        lr=args.lr,
+        lr_drop_step=args.lr_drop_epoch * steps_per_epoch,
+        lr_after_drop=args.lr_after_drop,
+        clip_length=args.clip_length,
+        image_size=(args.image_size, args.image_size),
+        batch_size=args.batch_size,
+    )
+    model, state, tx = create_train_state(jax.random.PRNGKey(args.seed), cfg)
+    mesh = data_mesh()
+    eval_step = jax.jit(make_eval_step(model))
+
+    def epoch_batches(epoch, split):
+        if args.synthetic:
+            n = args.steps or 20
+            return synthetic_batches(args.batch_size, args.clip_length,
+                                     args.image_size, n,
+                                     seed=args.seed + epoch * 100_000)
+        from echoflow.data.echonet import EchoNetDynamicDataset, load_fold_indices
+
+        subset = None
+        if args.folds:
+            import os
+
+            name = ("stanford_train_sampled_indices" if split == "train"
+                    else "stanford_valid_sampled_indices")
+            subset = load_fold_indices(os.path.join(args.folds, name))
+        ds = EchoNetDynamicDataset(args.data, split=split,
+                                   clip_length=args.clip_length,
+                                   subset_indices=subset,
+                                   seed=args.seed + epoch)
+        return echonet_batches(ds, args.batch_size, args.steps)
+
+    best_val = float("inf")
+    for epoch in range(args.epochs):
+        tic = time.time()
+        state, history = fit_on_mesh(
+            mesh, model, state, tx, epoch_batches(epoch, "train"),
+            log_every=args.log_every)
+        # Validation pass.
+        val_losses, ed_d, es_d = [], [], []
+        for batch in epoch_batches(epoch, "val"):
+            m = eval_step(state, jax.tree.map(jax.numpy.asarray, batch))
+            val_losses.append(float(m["loss"]))
+            ed_d.append(float(m["ed_dice"]))
+            es_d.append(float(m["es_dice"]))
+        val = float(np.mean(val_losses)) if val_losses else float("nan")
+        print(f"epoch {epoch}: val loss {val:.4f} "
+              f"ED dice {np.mean(ed_d or [0]):.3f} ES dice {np.mean(es_d or [0]):.3f} "
+              f"({time.time() - tic:.0f}s)")
+        if val < best_val or np.isnan(val):
+            best_val = min(best_val, val)
+            save_checkpoint(args.out, state, extra={"epoch": epoch, "val_loss": val})
+            print(f"saved checkpoint -> {args.out}")
+    return state
+
+
+if __name__ == "__main__":
+    main()
