@@ -51,7 +51,7 @@ def main():
         for i in range(4)
     ]
 
-    segmenter = VideoSegmenter(variables, forward_chunk=10)
+    segmenter = VideoSegmenter(variables, forward_chunk=30)
 
     # Warm-up / compile.
     seg = segmenter.segment_video(videos[0], num_clips=NUM_CLIPS, step=STEP,

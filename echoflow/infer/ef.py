@@ -17,6 +17,24 @@ from echoflow.metrics.simpson import get2dPucks
 from echoflow.ops.peaks import find_peaks_1d
 
 
+def get_all_possible_start_points(ed_index: int, es_index: int,
+                                  video_length: int, clip_length: int = 32) -> np.ndarray:
+    """All clip start points whose 32-frame window covers ED..ES (the
+    consecutive-clip study notebooks' helper). Empty if the systole exceeds
+    the clip length."""
+    if es_index - ed_index + 1 > clip_length:
+        return np.asarray([], dtype=np.int64)
+    lo = max(0, es_index - clip_length + 1)
+    hi = min(ed_index, video_length - clip_length)
+    return np.arange(lo, hi + 1, dtype=np.int64) if hi >= lo else np.asarray([], np.int64)
+
+
+def ef_from_traces(ed_mask: np.ndarray, es_mask: np.ndarray) -> float:
+    """Oracle EF from ground-truth ED/ES masks — the clinical-trace-derived
+    EF floor of the reference's EF notebook (cells 15-17)."""
+    return simpson_ef(ed_mask, es_mask)
+
+
 def lv_area_curve(segmentations: np.ndarray) -> np.ndarray:
     """(L, H, W) labels -> (L,) LV pixel counts. The reference sums raw
     label values (fuse_utils.py:106); identical for binary {0,1} labels."""

@@ -65,3 +65,110 @@ def make_annotated_gif(segmentations: np.ndarray, video: np.ndarray,
     frames[0].save(filename, save_all=True, append_images=frames[1:],
                    duration=int(1000 / fps), loop=0)
     return filename
+
+
+# ----------------------------------------------------------- small helpers
+# Equivalents of reference src/visualization_utils.py:16-262.
+
+def labColorMap():
+    """Class -> RGB (reference visualization_utils.py:16-19)."""
+    return {0: (0.0, 0.0, 0.0), 1: (0.8, 0.1, 0.1),
+            2: (0.1, 0.8, 0.1), 3: (0.1, 0.1, 0.8)}
+
+
+def label2LabColorMap(label_map: np.ndarray) -> np.ndarray:
+    """(H, W) int labels -> (H, W, 3) float RGB
+    (reference visualization_utils.py:39-55)."""
+    colors = labColorMap()
+    out = np.zeros((*label_map.shape, 3), np.float32)
+    for key, color in colors.items():
+        out[label_map == key] = color
+    return out
+
+
+def get_class_pixels(label_map: np.ndarray, class_index: int) -> np.ndarray:
+    """Binary mask of one class (reference visualization_utils.py:206-220)."""
+    return (np.asarray(label_map) == class_index).astype(np.uint8)
+
+
+def find_outlier(values) -> np.ndarray:
+    """IQR outlier mask (reference visualization_utils.py:239-244)."""
+    values = np.asarray(values, np.float64)
+    q1, q3 = np.percentile(values, [25, 75])
+    iqr = q3 - q1
+    return (values < q1 - 1.5 * iqr) | (values > q3 + 1.5 * iqr)
+
+
+def box_plot_outliers(values_by_name: dict, filename: str | None = None):
+    """Box plot of metric distributions with outliers flagged
+    (reference visualization_utils.py:247-262)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(1.5 * len(values_by_name) + 2, 4), dpi=80)
+    ax.boxplot(list(values_by_name.values()), tick_labels=list(values_by_name))
+    if filename:
+        fig.savefig(filename)
+    plt.close(fig)
+    return {name: find_outlier(v) for name, v in values_by_name.items()}
+
+
+def plotContours(image: np.ndarray, masks, colors=None, thickness: int = 1) -> np.ndarray:
+    """Draw each mask's contours over the image (reference
+    visualization_utils.py:264-336; cv2.findContours there and here).
+    image (H, W) or (H, W, 3) in [0, 1]; masks: list of (H, W) binaries."""
+    import cv2
+
+    rgb = image if image.ndim == 3 else np.stack([image] * 3, axis=-1)
+    canvas = (np.clip(rgb, 0, 1) * 255).astype(np.uint8).copy()
+    palette = colors or [(50, 230, 80), (230, 80, 50), (80, 50, 230)]
+    for i, mask in enumerate(masks):
+        contours, _ = cv2.findContours(np.asarray(mask, np.uint8),
+                                       cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+        cv2.drawContours(canvas, contours, -1, palette[i % len(palette)], thickness)
+    return canvas.astype(np.float32) / 255.0
+
+
+def show_sequence_of_images(images, filename: str | None = None, cols: int = 8):
+    """Grid plot of a frame sequence (reference visualization_utils.py:22-36)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    n = images.shape[0]
+    rows = -(-n // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows), dpi=60)
+    for i, ax in enumerate(np.atleast_1d(axes).ravel()):
+        ax.axis("off")
+        if i < n:
+            ax.imshow(images[i], cmap="gray")
+    if filename:
+        fig.savefig(filename)
+    plt.close(fig)
+    return filename
+
+
+def show_pred_labels(frames, label_maps, filename: str | None = None, cols: int = 8):
+    """Grid of overlay frames (reference visualization_utils.py:187-203)."""
+    overlays = [echonet_overlay(np.asarray(f, np.float32), np.asarray(m))
+                for f, m in zip(frames, label_maps)]
+    return show_sequence_of_images(np.stack(overlays), filename, cols)
+
+
+def save_animation_from_images(images, filename: str, fps: int = 15):
+    """Image sequence -> GIF (reference visualization_utils.py:223-236)."""
+    from PIL import Image
+
+    pil = []
+    for img in images:
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        pil.append(Image.fromarray(arr))
+    pil[0].save(filename, save_all=True, append_images=pil[1:],
+                duration=int(1000 / fps), loop=0)
+    return filename
