@@ -1,0 +1,107 @@
+"""ctypes bindings for the native host-preprocessing library.
+
+`zeroone_normalize_native` and `extract_clips_native` call the threaded C++
+implementations when `libechoflow_native.so` is present (build with
+`make -C echoflow/native` or `python -m echoflow.native`), and fall back to
+numpy otherwise. Both paths are bit-identical (tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libechoflow_native.so")
+_lib = None
+
+
+def build(verbose: bool = False) -> str:
+    """Compile the shared library in place. Returns the library path."""
+    result = subprocess.run(
+        ["make", "-C", os.path.dirname(__file__)],
+        capture_output=not verbose, text=True)
+    if result.returncode != 0:
+        raise RuntimeError(f"native build failed: {result.stderr}")
+    _load()
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.ef_zeroone_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+    lib.ef_zeroone_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+    lib.ef_extract_clips_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def zeroone_normalize_native(video: np.ndarray, threads: int = 4) -> np.ndarray:
+    """Per-channel [0,1] normalization of a (C, ...) uint8/float32 video
+    (reference zeroone_normalizer semantics)."""
+    lib = _load()
+    video = np.ascontiguousarray(video)
+    c = video.shape[0]
+    per = video.size // c
+    out = np.empty(video.shape, np.float32)
+    if lib is None:
+        flat = video.reshape(c, -1).astype(np.float32)
+        lo = flat.min(axis=1, keepdims=True)
+        hi = flat.max(axis=1, keepdims=True)
+        return ((flat - lo) / (hi - lo)).reshape(video.shape).astype(np.float32)
+    if video.dtype == np.uint8:
+        lib.ef_zeroone_u8(
+            video.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), c, per, threads)
+    else:
+        video32 = np.ascontiguousarray(video, np.float32)
+        lib.ef_zeroone_f32(
+            video32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), c, per, threads)
+    return out
+
+
+def extract_clips_native(video: np.ndarray, starts, clip_len: int,
+                         threads: int = 4) -> np.ndarray:
+    """(C, T, H, W) float32 video + start indices -> (N, C, clip_len, H, W)."""
+    lib = _load()
+    video = np.ascontiguousarray(video, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    c, t = video.shape[:2]
+    hw = int(np.prod(video.shape[2:]))
+    n = len(starts)
+    if (starts < 0).any() or (starts + clip_len > t).any():
+        raise ValueError("clip window out of range")
+    out = np.empty((n, c, clip_len, *video.shape[2:]), np.float32)
+    if lib is None:
+        for k, s in enumerate(starts):
+            out[k] = video[:, s:s + clip_len]
+        return out
+    lib.ef_extract_clips_f32(
+        video.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, c, t, clip_len, hw,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads)
+    return out
+
+
+if __name__ == "__main__":
+    print(build(verbose=True))
