@@ -35,19 +35,24 @@ import numpy as np
 def _linear_resize_matrix_np(src_len: int, dst_len: int, align_corners: bool):
     if src_len == dst_len:
         return np.eye(dst_len, dtype=np.float32)
-    i = np.arange(dst_len, dtype=np.float64)
+    # Coordinates in float32, exactly as torch's area_pixel_compute_source_index
+    # computes them (scalar_t = float); float64 here would produce weights a
+    # few ULPs away from torch's.
+    i = np.arange(dst_len, dtype=np.float32)
     if align_corners:
         if dst_len == 1:
             coord = np.zeros_like(i)
         else:
-            coord = i * (src_len - 1) / (dst_len - 1)
+            scale = np.float32(src_len - 1) / np.float32(dst_len - 1)
+            coord = i * scale
     else:
-        coord = (i + 0.5) * (src_len / dst_len) - 0.5
-    coord = np.clip(coord, 0.0, src_len - 1)
+        scale = np.float32(src_len) / np.float32(dst_len)
+        coord = (i + np.float32(0.5)) * scale - np.float32(0.5)
+    coord = np.clip(coord, np.float32(0.0), np.float32(src_len - 1))
     lo = np.floor(coord).astype(np.int64)
     hi = np.minimum(lo + 1, src_len - 1)
-    w_hi = (coord - lo).astype(np.float32)
-    w_lo = 1.0 - w_hi
+    w_hi = (coord - lo.astype(np.float32)).astype(np.float32)
+    w_lo = np.float32(1.0) - w_hi
     mat = np.zeros((dst_len, src_len), dtype=np.float32)
     mat[np.arange(dst_len), lo] += w_lo
     mat[np.arange(dst_len), hi] += w_hi

@@ -76,11 +76,18 @@ def create_train_state(rng: jax.Array, cfg: TrainConfig,
     return model, state, tx
 
 
-def _loss_fn(params, batch_stats, model, batch):
-    (seg, motion), updates = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        batch["video"], train=True, mutable=["batch_stats"],
-    )
+def _loss_fn(params, batch_stats, model, batch, remat: bool = False):
+    def forward(variables, video):
+        return model.apply(variables, video, train=True, mutable=["batch_stats"])
+
+    if remat:
+        # Rematerialize the forward during the loss backward — trades FLOPs
+        # for the activation memory of backprop through ~62 chained warps
+        # (SURVEY.md §7.3); enables larger batches per chip.
+        forward = jax.checkpoint(forward)
+
+    (seg, motion), updates = forward(
+        {"params": params, "batch_stats": batch_stats}, batch["video"])
     total, aux = clasfv_total_loss(
         batch["video"], seg, motion,
         batch["ed_label"], batch["es_label"], batch["ed_idx"], batch["es_idx"],
@@ -88,14 +95,15 @@ def _loss_fn(params, batch_stats, model, batch):
     return total, (aux, updates["batch_stats"])
 
 
-def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformation):
+def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformation,
+                    remat: bool = False):
     """Returns train_step(state, batch) -> (state, metrics). jit it with the
     batch sharded over the mesh's `data` axis for DP."""
 
     def train_step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (total, (aux, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, model, batch)
+            state.params, state.batch_stats, model, batch, remat)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -136,8 +144,26 @@ def _soft_lv_dice(logits, label, eps: float = 1e-5):
     return 2.0 * jnp.sum(a * b) / (jnp.sum(a) + jnp.sum(b) + eps)
 
 
+def prefetch_to_device(batch_iterator, sharding, depth: int = 2):
+    """Double-buffered host->HBM prefetch: keeps `depth` batches in flight
+    (device_put is async) so the transfer of batch i+1 overlaps the device
+    compute of batch i — the TPU analog of DataLoader worker prefetch
+    (SURVEY.md §7.1)."""
+    from collections import deque
+
+    queue: deque = deque()
+    for batch in batch_iterator:
+        queue.append(jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sharding), batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
-                log_every: int = 50, log_fn=print):
+                log_every: int = 50, log_fn=print, metrics_logger=None,
+                prefetch_depth: int = 2):
     """Simple epoch runner over iterables of host batches, DP over `mesh`.
 
     train_batches / eval_batches: iterables yielding dicts with keys
@@ -153,11 +179,13 @@ def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
     state = jax.device_put(state, rsh)
 
     history = []
-    for i, batch in enumerate(train_batches, 1):
-        batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bsh), batch)
+    for i, batch in enumerate(
+            prefetch_to_device(train_batches, bsh, prefetch_depth), 1):
         state, metrics = train_step(state, batch)
         if i % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append(m)
+            if metrics_logger is not None:
+                metrics_logger.log(int(state.step), m)
             log_fn(f"step {i}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
     return state, history

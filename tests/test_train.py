@@ -87,6 +87,32 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_remat_step_matches(tiny_setup):
+    cfg, model, state, tx = tiny_setup
+    batch = _tiny_batch(seed=2)
+    plain = jax.jit(make_train_step(model, tx))
+    remat = jax.jit(make_train_step(model, tx, remat=True))
+    _, m_plain = plain(state, batch)
+    _, m_remat = remat(state, batch)
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_remat["loss"]),
+                               rtol=1e-5)
+
+
+def test_prefetch_to_device():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from echoflow.parallel.mesh import data_mesh
+    from echoflow.train.loop import prefetch_to_device
+
+    mesh = data_mesh(2)
+    sh = NamedSharding(mesh, P("data"))
+    batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), sh, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__ as graft
 
