@@ -56,29 +56,32 @@ _KAIMING = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 class Conv2Plus1D(nn.Module):
     """Factored (2+1)D convolution: spatial (1,3,3) -> BN -> ReLU ->
-    temporal (3,1,1). No biases (torchvision)."""
+    temporal (3,1,1). No biases (torchvision). With `folded=True` the BNs
+    are absorbed into biased convs (see models/fold_bn.py)."""
 
     out_ch: int
     mid_ch: int
     stride: int = 1
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         s = self.stride
         x = nn.Conv(
             self.mid_ch, (1, 3, 3), strides=(1, s, s),
-            padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
+            padding=[(0, 0), (1, 1), (1, 1)], use_bias=self.folded,
             kernel_init=_KAIMING, dtype=self.dtype, name="spatial",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn_mid",
-        )(x)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn_mid",
+            )(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.out_ch, (3, 1, 1), strides=(s, 1, 1),
-            padding=[(1, 1), (0, 0), (0, 0)], use_bias=False,
+            padding=[(1, 1), (0, 0), (0, 0)], use_bias=self.folded,
             kernel_init=_KAIMING, dtype=self.dtype, name="temporal",
         )(x)
         return x
@@ -92,28 +95,34 @@ class BasicBlock(nn.Module):
     out_ch: int
     stride: int = 1
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         mid = midplanes(self.in_ch, self.out_ch)
         identity = x
 
-        y = Conv2Plus1D(self.out_ch, mid, self.stride, self.dtype, name="conv1")(x, train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = Conv2Plus1D(self.out_ch, mid, self.stride, self.dtype,
+                        self.folded, name="conv1")(x, train)
+        if not self.folded:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = Conv2Plus1D(self.out_ch, mid, 1, self.dtype, name="conv2")(y, train)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = Conv2Plus1D(self.out_ch, mid, 1, self.dtype,
+                        self.folded, name="conv2")(y, train)
+        if not self.folded:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
 
         if self.stride != 1 or self.in_ch != self.out_ch:
             s = self.stride
             identity = nn.Conv(
-                self.out_ch, (1, 1, 1), strides=(s, s, s), use_bias=False,
+                self.out_ch, (1, 1, 1), strides=(s, s, s), use_bias=self.folded,
                 kernel_init=_KAIMING, dtype=self.dtype, name="down_conv",
             )(identity)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=self.dtype, name="down_bn")(identity)
+            if not self.folded:
+                identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                        epsilon=1e-5, dtype=self.dtype, name="down_bn")(identity)
 
         return nn.relu(y + identity)
 
@@ -122,29 +131,34 @@ class R2Plus1DBackbone(nn.Module):
     """Stem + 4 stages; returns the five tap feature maps."""
 
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         # Stem: (1,7,7) stride (1,2,2) 3->45, BN, ReLU; (3,1,1) 45->64, BN, ReLU.
         x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
-                    padding=[(0, 0), (3, 3), (3, 3)], use_bias=False,
+                    padding=[(0, 0), (3, 3), (3, 3)], use_bias=self.folded,
                     kernel_init=_KAIMING, dtype=self.dtype, name="stem_conv_s")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="stem_bn_s")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="stem_bn_s")(x)
         x = nn.relu(x)
         x = nn.Conv(64, (3, 1, 1), strides=(1, 1, 1),
-                    padding=[(1, 1), (0, 0), (0, 0)], use_bias=False,
+                    padding=[(1, 1), (0, 0), (0, 0)], use_bias=self.folded,
                     kernel_init=_KAIMING, dtype=self.dtype, name="stem_conv_t")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="stem_bn_t")(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="stem_bn_t")(x)
         stem = nn.relu(x)
 
         taps = [stem]
         x = stem
         plan = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
         for i, (cin, cout, stride) in enumerate(plan, start=1):
-            x = BasicBlock(cin, cout, stride, self.dtype, name=f"layer{i}_block0")(x, train)
-            x = BasicBlock(cout, cout, 1, self.dtype, name=f"layer{i}_block1")(x, train)
+            x = BasicBlock(cin, cout, stride, self.dtype, self.folded,
+                           name=f"layer{i}_block0")(x, train)
+            x = BasicBlock(cout, cout, 1, self.dtype, self.folded,
+                           name=f"layer{i}_block1")(x, train)
             taps.append(x)
         return taps
 
@@ -160,13 +174,14 @@ class R2Plus1DMotionSegNet(nn.Module):
     """
 
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, video, train: bool = False):
         n, c, t, h, w = video.shape
         x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(self.dtype)  # NTHWC
 
-        taps = R2Plus1DBackbone(self.dtype, name="backbone")(x, train)
+        taps = R2Plus1DBackbone(self.dtype, self.folded, name="backbone")(x, train)
         tap_channels = [64, 64, 128, 256, 512]
 
         # Combine block 1, decomposed: project each tap at native resolution
@@ -190,14 +205,16 @@ class R2Plus1DMotionSegNet(nn.Module):
             offset += ch
         y = acc + comb1_bias.astype(self.dtype)
 
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="comb_bn1")(y)
+        if not self.folded:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="comb_bn1")(y)
         y = nn.relu(y)
 
         y = nn.Conv(64, (1, 1, 1), use_bias=True, kernel_init=_KAIMING,
                     dtype=self.dtype, name="comb2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="comb_bn2")(y)
+        if not self.folded:
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="comb_bn2")(y)
         y = nn.relu(y)
 
         seg = nn.Conv(2, (1, 1, 1), use_bias=True, kernel_init=_KAIMING,
