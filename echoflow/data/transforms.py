@@ -124,10 +124,13 @@ class WindowImagesAndLabels:
 
     def __call__(self, data):
         data = dict(data)
-        data[self.image_field] = [
-            intensity_window(img, self.scale, self.rng)
-            for img in data[self.image_field]
-        ]
+        value = data[self.image_field]
+        if isinstance(value, (list, tuple)):
+            data[self.image_field] = [
+                intensity_window(img, self.scale, self.rng) for img in value]
+        else:  # a single image/stack: window it as one unit
+            data[self.image_field] = intensity_window(
+                np.asarray(value), self.scale, self.rng)
         return data
 
 
@@ -145,13 +148,20 @@ class RotateImagesAndLabels:
 
     def __call__(self, data):
         data = dict(data)
-        images, labels = [], []
-        for img, lab in zip(data[self.image_field], data[self.label_field]):
+        imgs = data[self.image_field]
+        labs = data[self.label_field]
+        if isinstance(imgs, (list, tuple)):
+            images, labels = [], []
+            for img, lab in zip(imgs, labs):
+                angle = random_rotation_angle(self.scale, self.rtype, self.rng)
+                images.append(rotate_about_apex(img, angle, order=1))
+                labels.append(rotate_about_apex(lab, angle, order=0))
+            data[self.image_field] = images
+            data[self.label_field] = labels
+        else:  # single (C, H, W)/(H, W) image with its (H, W) label
             angle = random_rotation_angle(self.scale, self.rtype, self.rng)
-            images.append(rotate_about_apex(img, angle, order=1))
-            labels.append(rotate_about_apex(lab, angle, order=0))
-        data[self.image_field] = images
-        data[self.label_field] = labels
+            data[self.image_field] = rotate_about_apex(np.asarray(imgs), angle, order=1)
+            data[self.label_field] = rotate_about_apex(np.asarray(labs), angle, order=0)
         return data
 
 
