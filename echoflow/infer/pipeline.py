@@ -180,14 +180,16 @@ class VideoSegmenter:
     def __post_init__(self):
         if self.fold_bn and "batch_stats" in self.variables:
             # Inference-only engine: absorb every BatchNorm into its conv
-            # (exact; see models/fold_bn.py) — ~18 fewer elementwise passes
-            # over full-resolution activations per clip.
+            # (exact; see models/fold_bn.py).
             from echoflow.models.fold_bn import fold_variables
 
             self.variables = fold_variables(self.variables)
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype, folded=True)
         else:
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype)
+        # Pin the weights on device once — passing host arrays into the
+        # jitted graph would re-transfer ~126 MB per call.
+        self.variables = jax.tree.map(jnp.asarray, self.variables)
         self._compiled = {}
         self._operand_cache = {}
 
@@ -299,23 +301,26 @@ class VideoSegmenter:
     def segment_videos(self, videos, num_clips: int = 1, step: int = 1,
                        fuse_method: str = "simple", queue_depth: int = 3):
         """Segment a sequence of videos with dispatch-ahead pipelining:
-        up to `queue_depth` videos are in flight, so transfers, device
-        compute, and result fetches overlap. Yields (L, H, W) uint8 masks
-        in order."""
+        up to `queue_depth` videos are in flight, and results are fetched on
+        background threads so device->host round-trip latency overlaps both
+        the dispatches and the caller's per-video work. Yields (L, H, W)
+        uint8 masks in order."""
         from collections import deque
-
-        inflight: deque = deque()
+        from concurrent.futures import ThreadPoolExecutor
 
         def fetch(item):
             fused, (length, width) = item
             return _unpackbits(np.asarray(jax.device_get(fused)), width)[:length]
 
-        for video in videos:
-            inflight.append(self.segment_video_async(video, num_clips, step, fuse_method))
-            if len(inflight) >= queue_depth:
-                yield fetch(inflight.popleft())
-        while inflight:
-            yield fetch(inflight.popleft())
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            inflight: deque = deque()
+            for video in videos:
+                handle = self.segment_video_async(video, num_clips, step, fuse_method)
+                inflight.append(pool.submit(fetch, handle))
+                if len(inflight) >= queue_depth:
+                    yield inflight.popleft().result()
+            while inflight:
+                yield inflight.popleft().result()
 
 
 def segment_a_video_with_fusion(video, segmenter: VideoSegmenter,
