@@ -9,6 +9,7 @@ from echoflow.ops.resize import (
     trilinear_resize,
 )
 from echoflow.ops.warp import (
+    set_warp_backend,
     warp_bilinear_border,
     warp_image_with_offsets,
 )

@@ -38,28 +38,53 @@ def parse_args(argv=None):
     ap.add_argument("--out", type=str, default="save_models/clasfv_checkpoint.pkl")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cache-samples", type=int, default=0,
+                    help="synthetic mode: pre-generate this many samples "
+                         "once and draw batches from the pool")
     return ap.parse_args(argv)
 
 
-def synthetic_batches(batch_size, clip_length, image_size, steps, seed):
-    """Endless synthetic training batches (see echoflow.data.synthetic)."""
+_SAMPLE_CACHE = {}
+
+
+def synthetic_batches(batch_size, clip_length, image_size, steps, seed,
+                      cache_samples: int = 0):
+    """Synthetic training batches (see echoflow.data.synthetic). With
+    cache_samples > 0 a fixed pool is generated once and batches draw from
+    it — keeps the single host core from bottlenecking the train step."""
     import numpy as np
 
     from echoflow.data.synthetic import make_training_sample
 
-    for step in range(steps):
-        samples = [
-            make_training_sample(clip_length, image_size, image_size,
-                                 seed=seed + step * batch_size + i)
-            for i in range(batch_size)
-        ]
-        yield {
+    def collate(samples):
+        return {
             "video": np.stack([s["video"] for s in samples]).astype(np.float32),
             "ed_label": np.stack([s["ed_label"] for s in samples]).astype(np.int32),
             "es_label": np.stack([s["es_label"] for s in samples]).astype(np.int32),
             "ed_idx": np.asarray([s["ed_idx"] for s in samples], np.int32),
             "es_idx": np.asarray([s["es_idx"] for s in samples], np.int32),
         }
+
+    if cache_samples:
+        key = (clip_length, image_size, cache_samples)
+        if key not in _SAMPLE_CACHE:
+            _SAMPLE_CACHE[key] = [
+                make_training_sample(clip_length, image_size, image_size, seed=i)
+                for i in range(cache_samples)
+            ]
+        pool = _SAMPLE_CACHE[key]
+        rng = np.random.RandomState(seed)
+        for _ in range(steps):
+            idx = rng.choice(len(pool), batch_size, replace=False)
+            yield collate([pool[i] for i in idx])
+        return
+
+    for step in range(steps):
+        yield collate([
+            make_training_sample(clip_length, image_size, image_size,
+                                 seed=seed + step * batch_size + i)
+            for i in range(batch_size)
+        ])
 
 
 def echonet_batches(dataset, batch_size, steps=None):
@@ -126,7 +151,8 @@ def main(argv=None):
             n = args.steps or 20
             return synthetic_batches(args.batch_size, args.clip_length,
                                      args.image_size, n,
-                                     seed=args.seed + epoch * 100_000)
+                                     seed=args.seed + epoch * 100_000,
+                                     cache_samples=args.cache_samples)
         from echoflow.data.echonet import EchoNetDynamicDataset, load_fold_indices
 
         subset = None
