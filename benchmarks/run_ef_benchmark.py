@@ -88,16 +88,23 @@ def main(argv=None):
     # ---------------------------------------------------------------- data
     if args.synthetic:
         from echoflow.data.synthetic import make_beating_video
+        from echoflow.infer.ef import ef_from_traces
 
         def samples():
             n = args.limit or 8
             for i in range(n):
                 period = 34 + (i % 5) * 3
-                beat = make_beating_video(num_frames=160, period=period, seed=i)
+                # Spread contraction strength so true EF spans a wide range —
+                # Pearson r over a single EF bin would be noise.
+                amplitude = 3.5 + 7.5 * i / max(n - 1, 1)
+                beat = make_beating_video(num_frames=160, period=period,
+                                          amplitude=amplitude, seed=i)
                 ed = int(beat.ed_frames[0])
                 es = int(beat.es_frames[beat.es_frames > ed][0])
-                r_ed, r_es = (20 + 8 * np.sin(2 * np.pi * t / period) for t in (ed, es))
-                true_ef = (1 - (r_es / r_ed) ** 3) * 100
+                # True EF = Simpson's method on the ground-truth masks — the
+                # reference's clinical-trace-derived oracle-floor semantics
+                # (echonet_dynamic_compute_EF_and_dice.ipynb cells 15-17).
+                true_ef = ef_from_traces(beat.masks[ed], beat.masks[es])
                 yield (f"synth{i}", beat.video.astype(np.uint8), float(true_ef),
                        ed, es, beat.masks[ed], beat.masks[es])
     else:

@@ -93,8 +93,14 @@ def make_training_sample(clip_length: int = 32, height: int = 112,
 
     rng = np.random.RandomState(seed)
     period = float(rng.uniform(1.2, 2.0) * clip_length)
+    # Vary contraction strength and heart size sample-to-sample so a model
+    # trained on these generalizes across ejection fractions — required for
+    # the synthetic EF benchmark to show real correlation, not one EF bin.
+    amplitude = float(rng.uniform(3.5, 11.0))
+    base_radius = float(rng.uniform(17.0, 24.0))
     beat = make_beating_video(num_frames=clip_length * 3, height=height,
-                              width=width, period=period, seed=seed)
+                              width=width, period=period, seed=seed,
+                              amplitude=amplitude, base_radius=base_radius)
     # Find an ED->ES stretch that fits in the clip.
     ed = int(beat.ed_frames[0])
     es_candidates = beat.es_frames[beat.es_frames > ed]

@@ -166,9 +166,15 @@ class VideoSegmenter:
     ----------
     variables : flax variables for R2Plus1DMotionSegNet
     dtype : compute dtype for the network (bf16 fast / fp32 parity)
-    forward_chunk : clips per forward chunk (bounds peak activation memory)
+    forward_chunk : clips per forward chunk (bounds peak activation memory);
+        with a mesh this is the *per-device* chunk
     bucket : videos are padded to a multiple of this many frames; one
         compile serves a whole bucket
+    mesh : optional `jax.sharding.Mesh` with a `data` axis. Shards the
+        K-shifts x C-clips batch (and the fusion frame axis) over devices —
+        the TPU-native replacement for the reference's DataParallel scatter
+        at inference (reference motion_segment.py:69; SURVEY.md §2.4).
+        Weights are replicated across the mesh once at construction.
     """
 
     variables: dict
@@ -176,6 +182,7 @@ class VideoSegmenter:
     forward_chunk: int = 8
     bucket: int = 64
     fold_bn: bool = True
+    mesh: object = None
 
     def __post_init__(self):
         if self.fold_bn and "batch_stats" in self.variables:
@@ -188,8 +195,16 @@ class VideoSegmenter:
         else:
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype)
         # Pin the weights on device once — passing host arrays into the
-        # jitted graph would re-transfer ~126 MB per call.
-        self.variables = jax.tree.map(jnp.asarray, self.variables)
+        # jitted graph would re-transfer ~126 MB per call. With a mesh,
+        # replicate them across every device up front.
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.variables = jax.device_put(
+                jax.tree.map(jnp.asarray, self.variables), rep)
+        else:
+            self.variables = jax.tree.map(jnp.asarray, self.variables)
         self._compiled = {}
         self._operand_cache = {}
 
@@ -201,7 +216,21 @@ class VideoSegmenter:
 
         c_max = t_pad // CLIP_LEN
         n_clips = k_num * c_max
-        chunk = min(self.forward_chunk, n_clips)
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape["data"]
+            # Per-device chunking: each lax.map step forwards up to
+            # forward_chunk clips *per device*; the clip batch is padded to
+            # a device-count multiple so the shard is even.
+            chunk = min(self.forward_chunk * n_dev,
+                        -(-n_clips // n_dev) * n_dev)
+            clip_shard = NamedSharding(mesh, P(None, "data"))
+            frame_shard = NamedSharding(mesh, P("data"))
+        else:
+            chunk = min(self.forward_chunk, n_clips)
+            clip_shard = frame_shard = None
         n_chunks = -(-n_clips // chunk)
         pad_clips = n_chunks * chunk - n_clips
         model = self._model
@@ -229,7 +258,12 @@ class VideoSegmenter:
                 seg, _ = model.apply(variables, xs, train=False)
                 return jax.nn.softmax(seg, axis=1)
 
-            probs = jax.lax.map(fwd_chunk, clips.reshape(n_chunks, chunk, 3, CLIP_LEN, h, w))
+            xs_all = clips.reshape(n_chunks, chunk, 3, CLIP_LEN, h, w)
+            if clip_shard is not None:
+                # DP inference: each chunk's clip axis is sharded over the
+                # mesh's `data` axis; every device forwards its shard.
+                xs_all = jax.lax.with_sharding_constraint(xs_all, clip_shard)
+            probs = jax.lax.map(fwd_chunk, xs_all)
             probs = probs.reshape(-1, 2, CLIP_LEN, h, w)[:n_clips]
 
             # 3. reassemble (K, 2, T', H, W); re-interp to true lengths.
@@ -244,6 +278,8 @@ class VideoSegmenter:
                 per_shift = jnp.moveaxis(interp, 2, 0)          # (T, K, 2, H, W)
                 stack = jnp.take_along_axis(
                     per_shift, gather_idx[:, :, None, None, None], axis=0)
+                if frame_shard is not None:
+                    stack = jax.lax.with_sharding_constraint(stack, frame_shard)
                 fused = jax.vmap(softmax_mean_fuse)(stack, valid)
                 return _packbits(fused)
 
@@ -251,6 +287,9 @@ class VideoSegmenter:
             per_shift = jnp.moveaxis(labels, 1, 0)                  # (T, K, H, W)
             stack = jnp.take_along_axis(
                 per_shift, gather_idx[:, :, None, None], axis=0)
+            if frame_shard is not None:
+                # Per-frame fusion shards over the video's frame axis.
+                stack = jax.lax.with_sharding_constraint(stack, frame_shard)
             fused = fuse_frames(stack, valid, method=fuse_method)
             return _packbits(fused)
 

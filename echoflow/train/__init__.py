@@ -8,6 +8,7 @@ echoflow.train.loop.
 from echoflow.train import losses, camus_losses, generic  # noqa: F401
 from echoflow.train.checkpoint import (  # noqa: F401
     load_checkpoint,
+    restore_train_state,
     load_model_variables,
     save_checkpoint,
 )

@@ -18,7 +18,15 @@ import jax
 import numpy as np
 
 
+_STATE_FIELDS = ("step", "params", "batch_stats", "opt_state", "rng")
+
+
 def save_checkpoint(path: str, state, extra: dict | None = None):
+    """state: a TrainState (or any object with the _STATE_FIELDS attrs) or a
+    plain dict. Stored as a class-independent dict of numpy pytrees so
+    checkpoints survive TrainState schema changes."""
+    if not isinstance(state, dict):
+        state = {f: getattr(state, f, None) for f in _STATE_FIELDS}
     payload = {
         "state": jax.tree.map(np.asarray, jax.device_get(state)),
         "extra": extra or {},
@@ -33,6 +41,17 @@ def load_checkpoint(path: str):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     return payload["state"], payload.get("extra", {})
+
+
+def restore_train_state(path: str):
+    """Load a checkpoint back into a TrainState (step/params/stats/opt/RNG)
+    for reproducible resume. Returns (state, extra)."""
+    from echoflow.train.loop import TrainState
+
+    state, extra = load_checkpoint(path)
+    if not isinstance(state, dict):  # legacy pickled-TrainState checkpoints
+        state = {f: getattr(state, f, None) for f in _STATE_FIELDS}
+    return TrainState(**{f: state.get(f) for f in _STATE_FIELDS}), extra
 
 
 def load_model_variables(path: str) -> dict:

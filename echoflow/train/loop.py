@@ -33,6 +33,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Training RNG key, advanced every step and stored in checkpoints so a
+    # resumed run reproduces the exact stochastic stream (SURVEY.md §5 —
+    # the reference saves no RNG and cannot resume reproducibly).
+    rng: Any = None
 
 
 @dataclass(frozen=True)
@@ -65,13 +69,15 @@ def create_train_state(rng: jax.Array, cfg: TrainConfig,
     model = R2Plus1DMotionSegNet()  # fp32 for training (31-deep warp chains)
     if input_shape is None:
         input_shape = (1, 3, cfg.clip_length, *cfg.image_size)
-    variables = init_variables(rng, model, input_shape)
+    init_rng, train_rng = jax.random.split(rng)
+    variables = init_variables(init_rng, model, input_shape)
     tx = make_optimizer(cfg)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
+        rng=train_rng,
     )
     return model, state, tx
 
@@ -112,8 +118,11 @@ def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformatio
             "ed_dice": _soft_lv_dice(aux["ed_logits"], batch["ed_label"]),
             "es_dice": _soft_lv_dice(aux["es_logits"], batch["es_label"]),
         }
+        new_rng = (jax.random.fold_in(state.rng, state.step)
+                   if state.rng is not None else None)
         return TrainState(step=state.step + 1, params=new_params,
-                          batch_stats=new_stats, opt_state=new_opt), metrics
+                          batch_stats=new_stats, opt_state=new_opt,
+                          rng=new_rng), metrics
 
     return train_step
 

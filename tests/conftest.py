@@ -13,6 +13,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The pytest process already IS a correctly-configured 8-virtual-CPU-device
+# environment, so __graft_entry__.dryrun_multichip can run in-process
+# (child mode) instead of re-exec'ing a fresh interpreter per test.
+os.environ["_ECHOFLOW_DRYRUN_CHILD"] = "1"
 
 import jax  # noqa: E402
 

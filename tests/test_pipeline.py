@@ -88,6 +88,26 @@ def test_engine_matches_reference_algorithm(tiny_model, length, num_clips, step)
     assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
 
 
+@pytest.mark.parametrize("fuse_method", ["majority", "simple", "softmax"])
+def test_mesh_sharded_engine_matches_single_device(tiny_model, fuse_method):
+    """DP inference over an 8-virtual-device `data` mesh produces the same
+    masks as the single-device engine (replaces the reference's
+    DataParallel scatter, motion_segment.py:69)."""
+    from echoflow.parallel.mesh import data_mesh
+
+    model, variables = tiny_model
+    beat = make_beating_video(num_frames=45, height=32, width=32, period=20.0, seed=2)
+    video = zeroone_normalizer(beat.video.copy())
+
+    single = VideoSegmenter(variables, forward_chunk=4, bucket=32)
+    sharded = VideoSegmenter(variables, forward_chunk=1, bucket=32,
+                             mesh=data_mesh(8))
+    want = single.segment_video(video, num_clips=2, step=1, fuse_method=fuse_method)
+    got = sharded.segment_video(video, num_clips=2, step=1, fuse_method=fuse_method)
+    assert got.shape == want.shape == (45, 32, 32)
+    assert (got != want).mean() <= 1e-3
+
+
 def test_shift_plan_clamps_like_reference():
     # L=40, 5 shifts of step 4 -> reference clamps to (40-32)//4 = 2
     assert len(_shift_plan(40, 5, 4)) == 2

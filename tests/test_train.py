@@ -117,3 +117,43 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_checkpoint_stores_rng_and_resume_is_reproducible(tiny_setup, tmp_path):
+    """SURVEY.md §5: a checkpoint must carry the RNG key so a resumed run
+    reproduces the original — 2 straight steps == 1 step, save, restore,
+    1 step."""
+    from echoflow.train.checkpoint import restore_train_state
+
+    cfg, model, state0, tx = tiny_setup
+    assert state0.rng is not None
+    step = jax.jit(make_train_step(model, tx))
+    batch1, batch2 = _tiny_batch(seed=3), _tiny_batch(seed=4)
+
+    s, _ = step(state0, batch1)
+    s_straight, _ = step(s, batch2)
+
+    path = str(tmp_path / "mid.pkl")
+    s_mid, _ = step(state0, batch1)
+    save_checkpoint(path, s_mid, extra={"epoch": 0})
+    s_restored, extra = restore_train_state(path)
+    assert extra["epoch"] == 0
+    np.testing.assert_array_equal(np.asarray(s_restored.rng), np.asarray(s_mid.rng))
+    s_resumed, _ = step(s_restored, batch2)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_straight.params)),
+                    jax.tree.leaves(jax.device_get(s_resumed.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s_straight.rng),
+                                  np.asarray(s_resumed.rng))
+
+
+def test_nan_validation_never_saves_best():
+    from train_clasfv import should_save_best
+
+    assert should_save_best(1.0, float("inf"))
+    assert should_save_best(0.5, 1.0)
+    assert not should_save_best(float("nan"), 1.0)
+    assert not should_save_best(float("nan"), float("inf"))
+    assert not should_save_best(float("inf"), float("inf"))
+    assert not should_save_best(2.0, 1.0)

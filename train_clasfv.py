@@ -36,6 +36,9 @@ def parse_args(argv=None):
     ap.add_argument("--clip-length", type=int, default=32)
     ap.add_argument("--image-size", type=int, default=112)
     ap.add_argument("--out", type=str, default="save_models/clasfv_checkpoint.pkl")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="checkpoint to resume from (restores params/opt/"
+                         "step/RNG and the epoch counter)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cache-samples", type=int, default=0,
@@ -47,11 +50,21 @@ def parse_args(argv=None):
 _SAMPLE_CACHE = {}
 
 
+def should_save_best(val: float, best_val: float) -> bool:
+    """Best-val checkpoint rule: only a finite validation loss strictly
+    better than the best so far wins; NaN/inf never overwrite the best."""
+    import numpy as np
+
+    return bool(np.isfinite(val)) and val < best_val
+
+
 def synthetic_batches(batch_size, clip_length, image_size, steps, seed,
-                      cache_samples: int = 0):
+                      cache_samples: int = 0, pool_seed_base: int = 0):
     """Synthetic training batches (see echoflow.data.synthetic). With
     cache_samples > 0 a fixed pool is generated once and batches draw from
-    it — keeps the single host core from bottlenecking the train step."""
+    it — keeps the single host core from bottlenecking the train step.
+    `pool_seed_base` separates sample populations: validation uses a
+    disjoint seed range so it is a held-out set, not the training pool."""
     import numpy as np
 
     from echoflow.data.synthetic import make_training_sample
@@ -66,10 +79,11 @@ def synthetic_batches(batch_size, clip_length, image_size, steps, seed,
         }
 
     if cache_samples:
-        key = (clip_length, image_size, cache_samples)
+        key = (clip_length, image_size, cache_samples, pool_seed_base)
         if key not in _SAMPLE_CACHE:
             _SAMPLE_CACHE[key] = [
-                make_training_sample(clip_length, image_size, image_size, seed=i)
+                make_training_sample(clip_length, image_size, image_size,
+                                     seed=pool_seed_base + i)
                 for i in range(cache_samples)
             ]
         pool = _SAMPLE_CACHE[key]
@@ -82,7 +96,7 @@ def synthetic_batches(batch_size, clip_length, image_size, steps, seed,
     for step in range(steps):
         yield collate([
             make_training_sample(clip_length, image_size, image_size,
-                                 seed=seed + step * batch_size + i)
+                                 seed=pool_seed_base + seed + step * batch_size + i)
             for i in range(batch_size)
         ])
 
@@ -143,16 +157,32 @@ def main(argv=None):
         batch_size=args.batch_size,
     )
     model, state, tx = create_train_state(jax.random.PRNGKey(args.seed), cfg)
+    start_epoch = 0
+    if args.resume:
+        from echoflow.train.checkpoint import restore_train_state
+
+        state, extra = restore_train_state(args.resume)
+        start_epoch = int(extra.get("epoch", -1)) + 1
+        print(f"resumed from {args.resume} at step {int(state.step)}, "
+              f"starting epoch {start_epoch}")
     mesh = data_mesh()
     eval_step = jax.jit(make_eval_step(model))
 
     def epoch_batches(epoch, split):
         if args.synthetic:
             n = args.steps or 20
+            # Validation draws from a disjoint seed range (held-out
+            # population) — train and val must not share samples.
+            val = split != "train"
             return synthetic_batches(args.batch_size, args.clip_length,
-                                     args.image_size, n,
-                                     seed=args.seed + epoch * 100_000,
-                                     cache_samples=args.cache_samples)
+                                     args.image_size,
+                                     max(2, n // 8) if val else n,
+                                     seed=args.seed + epoch * 100_000
+                                          + (7_777 if val else 0),
+                                     cache_samples=(max(8, args.cache_samples // 8)
+                                                    if val else args.cache_samples)
+                                                   if args.cache_samples else 0,
+                                     pool_seed_base=50_000_000 if val else 0)
         from echoflow.data.echonet import EchoNetDynamicDataset, load_fold_indices
 
         subset = None
@@ -169,7 +199,7 @@ def main(argv=None):
         return echonet_batches(ds, args.batch_size, args.steps)
 
     best_val = float("inf")
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         tic = time.time()
         state, history = fit_on_mesh(
             mesh, model, state, tx, epoch_batches(epoch, "train"),
@@ -185,9 +215,13 @@ def main(argv=None):
         print(f"epoch {epoch}: val loss {val:.4f} "
               f"ED dice {np.mean(ed_d or [0]):.3f} ES dice {np.mean(es_d or [0]):.3f} "
               f"({time.time() - tic:.0f}s)")
-        if val < best_val or np.isnan(val):
-            best_val = min(best_val, val)
-            save_checkpoint(args.out, state, extra={"epoch": epoch, "val_loss": val})
+        # Best-val semantics: a NaN validation must never overwrite the best
+        # checkpoint (it is a diverged run, not a better one).
+        if should_save_best(val, best_val):
+            best_val = val
+            save_checkpoint(args.out, state,
+                            extra={"epoch": epoch, "val_loss": val,
+                                   "seed": args.seed})
             print(f"saved checkpoint -> {args.out}")
     return state
 
