@@ -102,9 +102,16 @@ class EchoNetIndex:
         vt["FileName"] = vt["FileName"].astype(str).map(
             lambda s: s if s.endswith(".avi") else s + ".avi")
         self.traces = {}
-        for (fname, frame), grp in vt.groupby(["FileName", "Frame"]):
+        # Frame numbers in CSV file order per video — the echonet package
+        # relies on this order (systolic first, diastolic last) to assign
+        # Small/Large; kept for the order="file" parity mode.
+        self.trace_frame_order = {}
+        for (fname, frame), grp in vt.groupby(["FileName", "Frame"], sort=False):
             self.traces.setdefault(fname, {})[int(frame)] = (
                 grp[["X1", "Y1", "X2", "Y2"]].to_numpy(np.float64))
+            order = self.trace_frame_order.setdefault(fname, [])
+            if int(frame) not in order:
+                order.append(int(frame))
 
     def split(self, name: str):
         sel = self.file_list[self.file_list["Split"].str.lower() == name.lower()]
@@ -113,17 +120,32 @@ class EchoNetIndex:
     def video_path(self, filename: str) -> str:
         return str(Path(self.root) / "Videos" / filename)
 
-    def traced_frames(self, filename: str, shape: tuple[int, int]):
+    def traced_frames(self, filename: str, shape: tuple[int, int],
+                      order: str = "area"):
         """Returns (large_index, small_index, large_mask, small_mask): the
-        ED (larger-area) and ES traces. Frames are ordered by rasterized
-        area — semantically identical to echonet's file-order convention on
-        well-formed labels, and robust to reordered CSVs."""
+        ED (large) and ES (small) traces.
+
+        order="area" (default): frames ranked by rasterized mask area —
+        robust to reordered CSVs and to the handful of mislabeled videos the
+        reference meta notebook documents.
+        order="file": the echonet package's convention (echonet
+        datasets/echo.py): VolumeTracings lists the systolic frame first and
+        the diastolic frame last per video, so small = frames[0] and
+        large = frames[-1] in file order. This is the bit-parity mode — on
+        the known-malformed labels it reproduces the reference's (wrong)
+        assignment instead of silently correcting it."""
         per_frame = self.traces[filename]
-        frames = sorted(per_frame.keys())
-        masks = {f: rasterize_trace(per_frame[f], shape) for f in frames}
-        areas = {f: int(masks[f].sum()) for f in frames}
-        large = max(frames, key=lambda f: areas[f])
-        small = min(frames, key=lambda f: areas[f])
+        masks = {f: rasterize_trace(per_frame[f], shape) for f in per_frame}
+        if order == "file":
+            file_order = self.trace_frame_order[filename]
+            small, large = file_order[0], file_order[-1]
+        elif order == "area":
+            frames = sorted(per_frame.keys())
+            areas = {f: int(masks[f].sum()) for f in frames}
+            large = max(frames, key=lambda f: areas[f])
+            small = min(frames, key=lambda f: areas[f])
+        else:
+            raise ValueError(f"unknown trace order {order!r} (use 'area' or 'file')")
         return large, small, masks[large], masks[small]
 
 
@@ -177,7 +199,9 @@ class EchoNetDynamicDataset:
     def __init__(self, root: str, split: str = "train", clip_length=32,
                  image_size=(112, 112), period: int = 1,
                  raise_for_es_ed: bool = True, subset_indices=None,
-                 norm=zeroone_normalizer, mean_std=None, seed: int | None = None):
+                 norm=zeroone_normalizer, mean_std=None, seed: int | None = None,
+                 trace_order: str = "area"):
+        self.trace_order = trace_order
         self.index = EchoNetIndex(root)
         self.split = split
         self.clip_length = clip_length
@@ -268,9 +292,106 @@ class EchoNetDynamicDataset:
                                           es_label, ed_label)
 
     def _labels(self, filename: str, shape):
-        large, small, large_mask, small_mask = self.index.traced_frames(filename, shape)
+        large, small, large_mask, small_mask = self.index.traced_frames(
+            filename, shape, order=self.trace_order)
         # Large volume = end-diastole.
         return large, small, large_mask, small_mask
+
+
+def random_start_given_mid_point(mid_point_index: int, video_length: int,
+                                 length: int = 32,
+                                 rng: np.random.RandomState | None = None):
+    """Random clip window covering a single labeled frame (the ed-or-es-only
+    recipe's sampler, `echonet_dynamic_ed_or_es_only_clip_R2plus1D.ipynb`
+    cell 2 `random_start_given_mid_point`). All the reference's boundary
+    quirks are preserved, including `possible_end = L - length - 1` when the
+    window would overrun the end (NOT L - length + 1 — the last two valid
+    start positions are unreachable)."""
+    rng = rng or np.random
+    if video_length < length:
+        return 0, video_length
+    possible_start = mid_point_index - length + 1
+    possible_end = mid_point_index + 1
+    if mid_point_index == 0:
+        return 0, length
+    if mid_point_index == video_length - 1:
+        return video_length - length, video_length
+    if mid_point_index < length:
+        possible_start = 0
+    if mid_point_index + length > video_length:
+        possible_end = video_length - length - 1
+    # Guard beyond the reference: when the quirky possible_end falls at or
+    # below possible_start (e.g. L == length), the reference's randint would
+    # raise — clamp to the single valid start instead.
+    if possible_end <= possible_start:
+        start = possible_start
+    else:
+        start = int(rng.randint(possible_start, possible_end))
+    return start, start + length
+
+
+class EchoNetEDESOnlyDataset(EchoNetDynamicDataset):
+    """Two-clip dataset of the ed-or-es-only recipe (reference
+    `echonet_dynamic_ed_or_es_only_clip_R2plus1D.ipynb` cell 2,
+    `EchoNetDynamicDataset.__getitem__`): per sample, one random
+    `clip_length`-frame window covering the ED frame and one covering the
+    ES frame, each independently [0,1]-normalized; short videos are
+    trilinearly shrunk to `clip_length` with align_corners=False and the
+    labeled frame's clip index rescaled by int(mid * L_clip / L_window).
+
+    __getitem__ returns a dict with keys ed_video_clip / es_video_clip
+    (3, T, H, W) float32, ed_clip_index / es_clip_index int, ed_label /
+    es_label (H, W) uint8, ed_frame / es_frame, filename, EF."""
+
+    def __getitem__(self, i: int):
+        from echoflow.ops.resize import trilinear_resize
+        import jax.numpy as jnp
+
+        idx = self.subset_indices[i]
+        row = self.files.iloc[idx]
+        filename = row["FileName"]
+        ef = float(row["EF"])
+
+        video = load_avi(self.index.video_path(filename))
+        video = (video - self.mean[:, None, None, None]) / self.std[:, None, None, None]
+        ed_index, es_index, ed_label, es_label = self._labels(filename, video.shape[2:])
+        ed_frame = video[:, ed_index].copy()
+        es_frame = video[:, es_index].copy()
+
+        if self.period > 1:
+            video = video[:, ::self.period]
+        es_index //= self.period
+        ed_index //= self.period
+        # NOTE: this recipe does NOT reject ED > ES (the notebook comments
+        # the raise out) — each clip only needs to cover its own frame.
+
+        out = {"filename": filename, "EF": ef,
+               "es_index": es_index, "ed_index": ed_index,
+               "es_label": es_label, "ed_label": ed_label}
+        for name, mid in (("ed", ed_index), ("es", es_index)):
+            start, end = random_start_given_mid_point(
+                mid, video.shape[1], self.clip_length, self.rng)
+            if end - start < self.clip_length:
+                clip = video[:, start:end]
+                clip = np.asarray(trilinear_resize(
+                    jnp.asarray(clip[None].copy()),
+                    (self.clip_length, *self.image_size),
+                    align_corners=False))[0]
+                clip_index = int(mid * (self.clip_length / (end - start)))
+            else:
+                clip = video[:, start:end].copy()
+                clip_index = mid - start
+            if self.norm is not None:
+                clip = self.norm(np.ascontiguousarray(clip))
+            out[name + "_video_clip"] = clip.astype(np.float32)
+            out[name + "_clip_index"] = clip_index
+
+        if self.norm is not None:
+            out["es_frame"] = np.squeeze(self.norm(np.expand_dims(es_frame, 0).copy()))
+            out["ed_frame"] = np.squeeze(self.norm(np.expand_dims(ed_frame, 0).copy()))
+        else:
+            out["es_frame"], out["ed_frame"] = es_frame, ed_frame
+        return out
 
 
 def load_fold_indices(path: str) -> list[int]:

@@ -82,6 +82,36 @@ def write_synthetic_avi(path: str, num_frames: int = 96, height: int = 112,
     return beat
 
 
+def make_ed_es_only_sample(clip_length: int = 32, height: int = 112,
+                           width: int = 112, seed: int = 0):
+    """One ed-or-es-only training sample (the two-clip recipe): a clip whose
+    random window covers the ED frame and one covering the ES frame, each
+    with the labeled frame's index within its own clip.
+
+    Returns dict with keys ed_video / es_video (3, T, H, W) normalized,
+    ed_label / es_label (H, W) uint8, ed_idx / es_idx ints."""
+    from echoflow.data.echonet import random_start_given_mid_point
+    from echoflow.ops.normalize import zeroone_normalizer
+
+    rng = np.random.RandomState(seed)
+    period = float(rng.uniform(1.2, 2.0) * clip_length)
+    amplitude = float(rng.uniform(3.5, 11.0))
+    base_radius = float(rng.uniform(17.0, 24.0))
+    beat = make_beating_video(num_frames=clip_length * 3, height=height,
+                              width=width, period=period, seed=seed,
+                              amplitude=amplitude, base_radius=base_radius)
+    ed = int(beat.ed_frames[0])
+    es = int(beat.es_frames[beat.es_frames > ed][0])
+    out = {"ed_label": beat.masks[ed], "es_label": beat.masks[es]}
+    for name, mid in (("ed", ed), ("es", es)):
+        start, end = random_start_given_mid_point(
+            mid, beat.video.shape[1], clip_length, rng)
+        out[name + "_video"] = zeroone_normalizer(
+            beat.video[:, start:start + clip_length].copy())
+        out[name + "_idx"] = mid - start
+    return out
+
+
 def make_training_sample(clip_length: int = 32, height: int = 112,
                          width: int = 112, seed: int = 0):
     """One CLAS-FV training sample: a clip covering ED -> ES with labels.

@@ -25,7 +25,7 @@ import optax
 from flax import struct
 
 from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
-from echoflow.train.losses import clasfv_total_loss
+from echoflow.train.losses import clasfv_total_loss, ed_es_only_total_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -127,6 +127,75 @@ def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformatio
     return train_step
 
 
+def _ed_es_only_loss_fn(params, batch_stats, model, batch, remat: bool = False):
+    """Loss for the ed-or-es-only recipe (reference
+    `echonet_dynamic_ed_or_es_only_clip_R2plus1D.ipynb` cell 7): TWO forward
+    passes per step — one on the ED-covering clips, one on the ES-covering
+    clips — exactly as the reference runs them (two sequential model calls,
+    so BatchNorm sees each clip set as its own batch)."""
+    def forward(variables, video):
+        return model.apply(variables, video, train=True, mutable=["batch_stats"])
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    (ed_seg, ed_motion), upd1 = forward(variables, batch["ed_video"])
+    (es_seg, es_motion), upd2 = forward(
+        {"params": params, "batch_stats": upd1["batch_stats"]}, batch["es_video"])
+    total, aux = ed_es_only_total_loss(
+        batch["ed_video"], batch["es_video"], ed_seg, ed_motion, es_seg,
+        es_motion, batch["ed_label"], batch["es_label"],
+        batch["ed_idx"], batch["es_idx"])
+    return total, (aux, upd2["batch_stats"])
+
+
+def make_ed_es_only_train_step(model: R2Plus1DMotionSegNet,
+                               tx: optax.GradientTransformation,
+                               remat: bool = False):
+    """train_step(state, batch) -> (state, metrics) for the ed-or-es-only
+    recipe. Batch keys: ed_video/es_video (N,3,T,H,W), ed_label/es_label
+    (N,H,W), ed_idx/es_idx (N,) — indices WITHIN each clip."""
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(_ed_es_only_loss_fn, has_aux=True)
+        (total, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, model, batch, remat)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": total, "ota": aux["ota"], "flow": aux["flow"],
+            "edes_bce": aux["edes_bce"],
+            "ed_dice": _soft_lv_dice(aux["ed_logits"], batch["ed_label"]),
+            "es_dice": _soft_lv_dice(aux["es_logits"], batch["es_label"]),
+        }
+        new_rng = (jax.random.fold_in(state.rng, state.step)
+                   if state.rng is not None else None)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt,
+                          rng=new_rng), metrics
+
+    return train_step
+
+
+def make_ed_es_only_eval_step(model: R2Plus1DMotionSegNet):
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        ed_seg, ed_motion = model.apply(variables, batch["ed_video"], train=False)
+        es_seg, es_motion = model.apply(variables, batch["es_video"], train=False)
+        total, aux = ed_es_only_total_loss(
+            batch["ed_video"], batch["es_video"], ed_seg, ed_motion, es_seg,
+            es_motion, batch["ed_label"], batch["es_label"],
+            batch["ed_idx"], batch["es_idx"])
+        return {
+            "loss": total,
+            "ed_dice": _soft_lv_dice(aux["ed_logits"], batch["ed_label"]),
+            "es_dice": _soft_lv_dice(aux["es_logits"], batch["es_label"]),
+        }
+
+    return eval_step
+
+
 def make_eval_step(model: R2Plus1DMotionSegNet):
     def eval_step(state: TrainState, batch):
         seg, motion = model.apply(
@@ -172,18 +241,21 @@ def prefetch_to_device(batch_iterator, sharding, depth: int = 2):
 
 def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
                 log_every: int = 50, log_fn=print, metrics_logger=None,
-                prefetch_depth: int = 2):
+                prefetch_depth: int = 2, step_factory=None):
     """Simple epoch runner over iterables of host batches, DP over `mesh`.
 
-    train_batches / eval_batches: iterables yielding dicts with keys
-    video (N,3,T,H,W) f32, ed_label/es_label (N,H,W) int, ed_idx/es_idx (N,).
+    train_batches / eval_batches: iterables yielding dicts of arrays whose
+    leading axis is the batch (the default recipe's keys: video (N,3,T,H,W)
+    f32, ed_label/es_label (N,H,W) int, ed_idx/es_idx (N,)). `step_factory`
+    selects the recipe's train step (default `make_train_step`; pass
+    `make_ed_es_only_train_step` for the two-clip recipe).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     bsh = NamedSharding(mesh, P("data"))
     rsh = NamedSharding(mesh, P())
     train_step = jax.jit(
-        make_train_step(model, tx),
+        (step_factory or make_train_step)(model, tx),
         in_shardings=(rsh, bsh), out_shardings=(rsh, rsh))
     state = jax.device_put(state, rsh)
 

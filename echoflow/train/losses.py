@@ -197,6 +197,89 @@ def motion_seg_loss(label_ed, label_es, ed_idx, es_idx, motion, seg_logits,
     return jnp.mean(sgs), jnp.mean(ots)
 
 
+def single_label_motion_seg_loss_sample(label, label_idx, motion, seg_logits,
+                                        criterion=bce_with_logits):
+    """Single-label warp-chain loss of the ed-or-es-only training recipe
+    (reference `echonet_dynamic_ed_or_es_only_clip_R2plus1D.ipynb` cell 1,
+    `motion_seg_loss(label, label_index, ...)`): warp the one-hot label
+    forward from `label_idx` to the clip end, scoring each warped label
+    against the NEXT frame's segmentation logits, and backward from
+    `label_idx` to the clip start, scoring against the PREVIOUS frame's
+    logits. There is no OTS term (only one label exists per clip); the sum
+    is divided by the step count, which is (end-1) - label_idx forward plus
+    label_idx - start backward = T-1 always — a static constant, so the
+    dynamic `label_idx` only moves the chain masks.
+
+    label (H, W) int; motion (4, T, H, W); seg_logits (2, T, H, W);
+    label_idx scalar int. Returns a scalar. Both chains run in ONE masked
+    scan of T-1 steps with a 2-wide chain axis (same trick as
+    motion_seg_loss_single)."""
+    t = motion.shape[1]
+    oh = one_hot_channels(label[None, None], 2)[0]  # (2, H, W)
+
+    fwd_flows = jnp.moveaxis(motion[:2, :-1], 1, 0)       # step i: fwd flow i
+    fwd_ids = jnp.arange(t - 1)
+    bwd_flows = jnp.moveaxis(motion[2:, 1:], 1, 0)[::-1]  # step i: bwd flow T-1-i
+    bwd_ids = jnp.arange(t - 1, 0, -1)
+
+    init_labels = jnp.stack([oh, oh])                     # (2, 2, H, W)
+    directions = jnp.asarray([1, -1])
+    offsets = jnp.asarray([1, -1])
+
+    flows = jnp.stack([fwd_flows, bwd_flows], axis=1)     # (T-1, 2, 2, H, W)
+    fids = jnp.stack([fwd_ids, bwd_ids], axis=1)          # (T-1, 2)
+
+    def step(labels, inp):
+        flow, fid = inp
+        warped = warp_image_with_offsets(labels, flow)
+        active = jnp.where(directions > 0, fid >= label_idx, fid <= label_idx)
+        new_labels = jnp.where(active[:, None, None, None], warped, labels)
+        frame_logits = jax.vmap(
+            lambda f: jax.lax.dynamic_index_in_dim(seg_logits, f, axis=1, keepdims=False)
+        )(fid + offsets)
+        terms = jnp.where(active, jax.vmap(criterion)(frame_logits, warped), 0.0)
+        return new_labels, terms
+
+    _, terms = jax.lax.scan(step, init_labels, (flows, fids))
+    return jnp.sum(terms) / (t - 1)
+
+
+def ed_es_only_total_loss(ed_video, es_video, ed_seg, ed_motion, es_seg,
+                          es_motion, label_ed, label_es, ed_idx, es_idx):
+    """The full ed-or-es-only objective (reference notebook cell 7 `train`):
+
+      total = [OTA(ed clip) + OTA(es clip)]
+            + sum_i[single(ed_i) + single(es_i)] / N / 2
+            + [BCE(ed logits @ ed_idx) + BCE(es logits @ es_idx)] / 2
+
+    Each sample contributes TWO independent 32-frame clips — one whose
+    window covers the ED frame, one covering ES — each with its own forward
+    pass. Inputs: *_video (N,3,T,H,W), *_seg (N,2,T,H,W), *_motion
+    (N,4,T,H,W), label_* (N,H,W) int, *_idx (N,) clip-frame indices of the
+    labeled frame within its own clip. Returns (total, aux dict)."""
+    ota = (deformation_motion_loss(ed_video, ed_motion)
+           + deformation_motion_loss(es_video, es_motion))
+
+    single = jax.vmap(partial(single_label_motion_seg_loss_sample,
+                              criterion=bce_with_logits))
+    flow = (jnp.sum(single(label_ed, ed_idx, ed_motion, ed_seg))
+            + jnp.sum(single(label_es, es_idx, es_motion, es_seg)))
+    flow = flow / ed_video.shape[0] / 2.0
+
+    ed_sup, (ed_logits, _) = edes_supervised_loss(
+        ed_seg, label_ed, label_ed, ed_idx, ed_idx)
+    es_sup, (es_logits, _) = edes_supervised_loss(
+        es_seg, label_es, label_es, es_idx, es_idx)
+    # edes_supervised_loss already averages its two (identical) halves, so
+    # ed_sup == BCE(ed logits); the recipe's /2 is the mean of the two clips.
+    edes = (ed_sup + es_sup) / 2.0
+
+    total = ota + flow + edes
+    aux = {"ota": ota, "flow": flow, "edes_bce": edes,
+           "ed_logits": ed_logits, "es_logits": es_logits}
+    return total, aux
+
+
 def edes_supervised_loss(seg_logits, label_ed, label_es, ed_idx, es_idx):
     """Supervised BCE at the clinically labeled ED/ES frames
     (train_test.py:65-88). Returns the averaged loss and the gathered

@@ -13,9 +13,11 @@ from echoflow.train.losses import (
     bce_with_logits,
     clasfv_total_loss,
     deformation_motion_loss,
+    ed_es_only_total_loss,
     edes_supervised_loss,
     huber_smoothness,
     motion_seg_loss,
+    single_label_motion_seg_loss_sample,
     soft_dice_loss,
 )
 from tests.test_warp import torch_reference_warp
@@ -174,6 +176,82 @@ def test_edes_supervised_matches(clip):
     want = (F.binary_cross_entropy_with_logits(ed_l, oh_ed)
             + F.binary_cross_entropy_with_logits(es_l, oh_es)) / 2
     np.testing.assert_allclose(float(loss_j), float(want), rtol=1e-5)
+
+
+def t_single_label_motion_seg(label, label_index, motion, seg):
+    """The ed-or-es-only notebook's single-label motion_seg_loss (cell 1):
+    warp the one-hot label forward from label_index scoring seg[t+1], and
+    backward from label_index scoring seg[t-1]; (fwd+bwd)/count."""
+    T = motion.shape[2]
+    crit = F.binary_cross_entropy_with_logits
+    loss_fwd = torch.tensor(0.0)
+    loss_bwd = torch.tensor(0.0)
+    count = 0
+
+    src = t_onehot(label)
+    for t in range(label_index, T - 1):
+        nxt = t_warp(src, motion[:, :2, t])
+        loss_fwd = loss_fwd + crit(seg[:, :, t + 1], nxt)
+        src = nxt
+        count += 1
+    src = t_onehot(label)
+    for t in range(label_index, 0, -1):
+        nxt = t_warp(src, motion[:, 2:, t])
+        loss_bwd = loss_bwd + crit(seg[:, :, t - 1], nxt)
+        src = nxt
+        count += 1
+    return (loss_fwd + loss_bwd) / count
+
+
+@pytest.mark.parametrize("label_idx", [0, 2, 5])
+def test_single_label_motion_seg_loss_matches(clip, label_idx):
+    _, motion, seg, labels_ed, _ = clip
+    want = float(t_single_label_motion_seg(
+        labels_ed[0], label_idx,
+        torch.from_numpy(motion[:1]), torch.from_numpy(seg[:1])))
+    got = float(single_label_motion_seg_loss_sample(
+        jnp.asarray(labels_ed[0]), jnp.asarray(label_idx),
+        jnp.asarray(motion[0]), jnp.asarray(seg[0])))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_ed_es_only_total_loss_matches(clip):
+    """Full ed-or-es-only objective vs the notebook cell 7 math."""
+    video, motion, seg, labels_ed, labels_es = clip
+    n = video.shape[0]
+    # Independent "clips" for ED and ES: reuse the fixture arrays shifted.
+    ed_v, es_v = video, video[::-1].copy()
+    ed_m, es_m = motion, (motion[::-1] * 0.9).copy()
+    ed_s, es_s = seg, (seg[::-1] + 0.1).copy()
+    ed_idx = np.array([1, 2])
+    es_idx = np.array([4, 3])
+
+    # Torch reference.
+    want = float(t_deform(torch.from_numpy(ed_v), torch.from_numpy(ed_m))
+                 + t_deform(torch.from_numpy(es_v), torch.from_numpy(es_m)))
+    flow = 0.0
+    for i in range(n):
+        flow += float(t_single_label_motion_seg(
+            labels_ed[i], int(ed_idx[i]),
+            torch.from_numpy(ed_m[i:i + 1]), torch.from_numpy(ed_s[i:i + 1])))
+        flow += float(t_single_label_motion_seg(
+            labels_es[i], int(es_idx[i]),
+            torch.from_numpy(es_m[i:i + 1]), torch.from_numpy(es_s[i:i + 1])))
+    want += flow / n / 2
+    ed_l = torch.from_numpy(np.stack([ed_s[i, :, ed_idx[i]] for i in range(n)]))
+    es_l = torch.from_numpy(np.stack([es_s[i, :, es_idx[i]] for i in range(n)]))
+    oh_ed = torch.cat([t_onehot(labels_ed[i]) for i in range(n)])
+    oh_es = torch.cat([t_onehot(labels_es[i]) for i in range(n)])
+    want += float((F.binary_cross_entropy_with_logits(ed_l, oh_ed)
+                   + F.binary_cross_entropy_with_logits(es_l, oh_es)) / 2)
+
+    got, aux = ed_es_only_total_loss(
+        jnp.asarray(ed_v), jnp.asarray(es_v), jnp.asarray(ed_s),
+        jnp.asarray(ed_m), jnp.asarray(es_s), jnp.asarray(es_m),
+        jnp.asarray(labels_ed), jnp.asarray(labels_es),
+        jnp.asarray(ed_idx), jnp.asarray(es_idx))
+    np.testing.assert_allclose(float(got), want, rtol=2e-5, atol=1e-6)
+    assert set(aux) >= {"ota", "flow", "edes_bce"}
 
 
 def test_total_loss_grad_flows(clip):

@@ -26,6 +26,16 @@ def parse_args(argv=None):
                     help="dir with stanford_{train,valid}_sampled_indices pickles")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on synthetic beating-heart fixtures")
+    ap.add_argument("--recipe", choices=["clasfv", "ed_es_only"],
+                    default="clasfv",
+                    help="clasfv: joint ED..ES-window recipe (main notebook); "
+                         "ed_es_only: two clips per sample, one covering ED "
+                         "and one ES, single-label warp loss (the "
+                         "ed_or_es_only notebook; its defaults there were "
+                         "batch 2, 8 epochs, 3500-video subsample/epoch)")
+    ap.add_argument("--epoch-subsample", type=int, default=None,
+                    help="randomly subsample this many videos per epoch "
+                         "(the ed_es_only notebook uses 3500)")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--steps", type=int, default=None,
                     help="cap steps per epoch (smoke runs)")
@@ -101,6 +111,57 @@ def synthetic_batches(batch_size, clip_length, image_size, steps, seed,
         ])
 
 
+def synthetic_ed_es_batches(batch_size, clip_length, image_size, steps, seed,
+                            pool_seed_base: int = 0):
+    """Synthetic batches for the ed-or-es-only recipe."""
+    import numpy as np
+
+    from echoflow.data.synthetic import make_ed_es_only_sample
+
+    for step in range(steps):
+        samples = [
+            make_ed_es_only_sample(clip_length, image_size, image_size,
+                                   seed=pool_seed_base + seed + step * batch_size + i)
+            for i in range(batch_size)
+        ]
+        yield {
+            "ed_video": np.stack([s["ed_video"] for s in samples]).astype(np.float32),
+            "es_video": np.stack([s["es_video"] for s in samples]).astype(np.float32),
+            "ed_label": np.stack([s["ed_label"] for s in samples]).astype(np.int32),
+            "es_label": np.stack([s["es_label"] for s in samples]).astype(np.int32),
+            "ed_idx": np.asarray([s["ed_idx"] for s in samples], np.int32),
+            "es_idx": np.asarray([s["es_idx"] for s in samples], np.int32),
+        }
+
+
+def echonet_ed_es_batches(dataset, batch_size, steps=None):
+    """Batches from EchoNetEDESOnlyDataset (two clips per sample)."""
+    import numpy as np
+
+    buf = []
+    count = 0
+    for i in range(len(dataset)):
+        try:
+            d = dataset[i]
+        except Exception as exc:
+            print(f"skipping sample {i}: {exc}")
+            continue
+        buf.append(d)
+        if len(buf) == batch_size:
+            yield {
+                "ed_video": np.stack([b["ed_video_clip"] for b in buf]).astype(np.float32),
+                "es_video": np.stack([b["es_video_clip"] for b in buf]).astype(np.float32),
+                "ed_label": np.stack([b["ed_label"] for b in buf]).astype(np.int32),
+                "es_label": np.stack([b["es_label"] for b in buf]).astype(np.int32),
+                "ed_idx": np.asarray([b["ed_clip_index"] for b in buf], np.int32),
+                "es_idx": np.asarray([b["es_clip_index"] for b in buf], np.int32),
+            }
+            buf = []
+            count += 1
+            if steps is not None and count >= steps:
+                return
+
+
 def echonet_batches(dataset, batch_size, steps=None):
     """Batches from EchoNetDynamicDataset, skipping unusable samples the way
     the reference's loader does (ad-hoc guards, SURVEY.md §5)."""
@@ -142,7 +203,8 @@ def main(argv=None):
     from echoflow.parallel.mesh import data_mesh
     from echoflow.train.checkpoint import save_checkpoint
     from echoflow.train.loop import (
-        TrainConfig, create_train_state, fit_on_mesh, make_eval_step)
+        TrainConfig, create_train_state, fit_on_mesh,
+        make_ed_es_only_eval_step, make_ed_es_only_train_step, make_eval_step)
 
     if not args.synthetic and args.data is None:
         raise SystemExit("pass --data <EchoNet root> or --synthetic")
@@ -166,7 +228,10 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(state.step)}, "
               f"starting epoch {start_epoch}")
     mesh = data_mesh()
-    eval_step = jax.jit(make_eval_step(model))
+    ed_es_only = args.recipe == "ed_es_only"
+    eval_step = jax.jit((make_ed_es_only_eval_step if ed_es_only
+                         else make_eval_step)(model))
+    step_factory = make_ed_es_only_train_step if ed_es_only else None
 
     def epoch_batches(epoch, split):
         if args.synthetic:
@@ -174,6 +239,12 @@ def main(argv=None):
             # Validation draws from a disjoint seed range (held-out
             # population) — train and val must not share samples.
             val = split != "train"
+            if ed_es_only:
+                return synthetic_ed_es_batches(
+                    args.batch_size, args.clip_length, args.image_size,
+                    max(2, n // 8) if val else n,
+                    seed=args.seed + epoch * 100_000 + (7_777 if val else 0),
+                    pool_seed_base=50_000_000 if val else 0)
             return synthetic_batches(args.batch_size, args.clip_length,
                                      args.image_size,
                                      max(2, n // 8) if val else n,
@@ -183,7 +254,8 @@ def main(argv=None):
                                                     if val else args.cache_samples)
                                                    if args.cache_samples else 0,
                                      pool_seed_base=50_000_000 if val else 0)
-        from echoflow.data.echonet import EchoNetDynamicDataset, load_fold_indices
+        from echoflow.data.echonet import (
+            EchoNetDynamicDataset, EchoNetEDESOnlyDataset, load_fold_indices)
 
         subset = None
         if args.folds:
@@ -192,18 +264,29 @@ def main(argv=None):
             name = ("stanford_train_sampled_indices" if split == "train"
                     else "stanford_valid_sampled_indices")
             subset = load_fold_indices(os.path.join(args.folds, name))
-        ds = EchoNetDynamicDataset(args.data, split=split,
-                                   clip_length=args.clip_length,
-                                   subset_indices=subset,
-                                   seed=args.seed + epoch)
-        return echonet_batches(ds, args.batch_size, args.steps)
+        if split == "train" and args.epoch_subsample:
+            # The ed_or_es_only notebook re-subsamples 3500 videos per
+            # epoch (cell 8) from the fold with a fresh RNG each epoch.
+            rng = np.random.RandomState(args.seed + epoch)
+            pool = subset if subset is not None else None
+            if pool is None:
+                probe = EchoNetDynamicDataset(args.data, split=split,
+                                              clip_length=args.clip_length)
+                pool = list(range(len(probe)))
+            k = min(args.epoch_subsample, len(pool))
+            subset = [pool[j] for j in rng.choice(len(pool), k, replace=False)]
+        cls = EchoNetEDESOnlyDataset if ed_es_only else EchoNetDynamicDataset
+        ds = cls(args.data, split=split, clip_length=args.clip_length,
+                 subset_indices=subset, seed=args.seed + epoch)
+        batcher = echonet_ed_es_batches if ed_es_only else echonet_batches
+        return batcher(ds, args.batch_size, args.steps)
 
     best_val = float("inf")
     for epoch in range(start_epoch, args.epochs):
         tic = time.time()
         state, history = fit_on_mesh(
             mesh, model, state, tx, epoch_batches(epoch, "train"),
-            log_every=args.log_every)
+            log_every=args.log_every, step_factory=step_factory)
         # Validation pass.
         val_losses, ed_d, es_d = [], [], []
         for batch in epoch_batches(epoch, "val"):
