@@ -105,10 +105,289 @@ def resample_sequence_frames(video: np.ndarray, num_frames: int,
                                     num_frames, align_corners))
 
 
+def echo_cone_gaussian_noise(img: np.ndarray, sig_range=(0.0, 0.0),
+                             sig: float | None = None,
+                             rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Echo-specific Gaussian noise (reference random_GaussNoiser,
+    camus_transforms.py:368-393): add N(0, sig), clip to [0, 1], then zero
+    every pixel that was < eps before noising — noise never leaks outside
+    the ultrasound cone."""
+    rng = rng or np.random
+    img = np.asarray(img, np.float32)
+    cone = (img >= np.finfo(np.float32).eps).astype(np.float32)
+    if sig is None:
+        lo, hi = sorted(sig_range)
+        assert 0.0 <= lo and hi <= 1.0, "sig_range must be within [0, 1]"
+        sig = lo + (hi - lo) * rng.rand()
+    noised = np.clip(img + sig * rng.standard_normal(img.shape), 0.0, 1.0)
+    return (noised * cone).astype(np.float32)
+
+
+def _skimage_like_resize(chw: np.ndarray, size, order: int,
+                         anti_aliasing: bool) -> np.ndarray:
+    """Spatial resize of a channels-first (C, H, W) array to `size` (H', W')
+    with skimage.transform.resize semantics: half-pixel coordinate mapping,
+    optional Gaussian pre-blur on downsampling (sigma = max(0, (1/zoom - 1)
+    / 2) per axis), order 0 = nearest / 1 = linear. skimage is not a
+    dependency; cv2 provides the identical half-pixel linear/nearest sample
+    and scipy.ndimage the blur."""
+    import cv2
+
+    h, w = chw.shape[-2:]
+    th, tw = int(size[0]), int(size[1])
+    planes = chw.astype(np.float32)
+    if anti_aliasing and order != 0 and (th < h or tw < w):
+        from scipy.ndimage import gaussian_filter
+
+        sy = max(0.0, ((h / th) - 1.0) / 2.0)
+        sx = max(0.0, ((w / tw) - 1.0) / 2.0)
+        planes = np.stack([gaussian_filter(p, (sy, sx), mode="constant")
+                           for p in planes])
+    interp = cv2.INTER_NEAREST if order == 0 else cv2.INTER_LINEAR
+    return np.stack([cv2.resize(p, (tw, th), interpolation=interp)
+                     for p in planes])
+
+
 # ------------------------------------------------------ dict-pipeline classes
 
 class IdentityTransform:
     def __call__(self, data):
+        return data
+
+
+class LoadSITKFromFilename:
+    """data[field]: list of .mhd paths -> list of loaded arrays (z, H, W)
+    (reference camus_transforms.py:46-60). ITK is not a dependency — the
+    built-in MetaImage reader produces the same (z, y, x)-ordered array that
+    itk.GetArrayFromImage would."""
+
+    def __init__(self, field):
+        self.field = field
+
+    def __call__(self, data):
+        from echoflow.utils.echo_io import read_mhd
+
+        data = dict(data)
+        data[self.field] = [read_mhd(p) for p in data[self.field]]
+        return data
+
+
+class SitkToNumpy:
+    """List of loaded images -> list of float32 arrays with each channel
+    normalized to [0, 1], or int64 unnormalized arrays for labels
+    (reference camus_transforms.py:82-110, `normed` switch)."""
+
+    def __init__(self, field, normed=True):
+        self.field = field
+        self.normed = normed
+
+    def __call__(self, data):
+        data = dict(data)
+        entries = []
+        for entry in data[self.field]:
+            arr = np.asarray(entry)
+            if self.normed:
+                arr = arr.astype(np.float32).copy()
+                for c in range(arr.shape[0]):
+                    lo, hi = arr[c].min(), arr[c].max()
+                    arr[c] = (arr[c] - lo) / (hi - lo)
+            else:
+                arr = arr.astype(np.int64)
+            entries.append(arr)
+        data[self.field] = entries
+        return data
+
+
+class ResizeImagesAndLabels:
+    """Paired resize of data[image_field]/data[label_field] lists of
+    (C, H, W) arrays (reference camus_transforms.py:135-205): images linear
+    + anti-aliased float32, labels nearest int64 and squeezed to (H, W)."""
+
+    def __init__(self, size, image_field, label_field, image_alias=True,
+                 label_alias=False, image_order=1, label_order=0):
+        self.size = size
+        self.image_field = image_field
+        self.label_field = label_field
+        self.image_alias = image_alias
+        self.label_alias = label_alias
+        self.image_order = image_order
+        self.label_order = label_order
+
+    def __call__(self, data):
+        data = dict(data)
+        images, labels = [], []
+        for img, lab in zip(data[self.image_field], data[self.label_field]):
+            assert img.shape[1:3] == np.asarray(lab).shape[-2:], (
+                "image/label spatial shapes must match before resize")
+            r_img = _skimage_like_resize(img, self.size, self.image_order,
+                                         self.image_alias)
+            lab_chw = np.asarray(lab)
+            if lab_chw.ndim == 2:
+                lab_chw = lab_chw[None]
+            r_lab = np.squeeze(_skimage_like_resize(
+                lab_chw, self.size, self.label_order, self.label_alias))
+            images.append(r_img.astype(np.float32) if self.image_order
+                          else r_img.astype(np.int64))
+            labels.append(r_lab.astype(np.float32) if self.label_order
+                          else r_lab.astype(np.int64))
+        data[self.image_field] = images
+        data[self.label_field] = labels
+        return data
+
+
+class ResizeTransform:
+    """Single-field resize (reference camus_transforms.py:213-247)."""
+
+    def __init__(self, size, field, alias=True, order=1):
+        self.size = size
+        self.field = field
+        self.alias = alias
+        self.order = order
+
+    def __call__(self, data):
+        data = dict(data)
+        out = []
+        for entry in data[self.field]:
+            r = _skimage_like_resize(np.asarray(entry), self.size, self.order,
+                                     self.alias)
+            out.append(r.astype(np.float32) if self.order else r.astype(np.int64))
+        data[self.field] = out
+        return data
+
+
+class ResizeImage:
+    """Sequence-aware single-field resize (reference
+    transform_utils.py:129-190): entries are (C, H, W) images or
+    (T, C, H, W) sequences. The reference's is_label+is_sequence branch
+    crashes (`list.astype`); here labels resize nearest and cast int64 in
+    both modes."""
+
+    def __init__(self, size, image_field, is_sequence=False, is_label=False,
+                 anti_aliasing=True, order=1):
+        self.size = size
+        self.image_field = image_field
+        self.is_sequence = is_sequence
+        self.is_label = is_label
+        self.anti_aliasing = anti_aliasing
+        self.order = order
+
+    def __call__(self, data):
+        data = dict(data)
+        out = []
+        order = 0 if self.is_label else self.order
+        for entry in data[self.image_field]:
+            arr = np.asarray(entry)
+            if self.is_sequence:
+                frames = arr if arr.ndim == 4 else arr[:, None]
+                r = np.stack([
+                    _skimage_like_resize(f, self.size, order, self.anti_aliasing)
+                    for f in frames])
+            else:
+                r = _skimage_like_resize(arr, self.size, order, self.anti_aliasing)
+            out.append(r.astype(np.int64) if self.is_label else r.astype(np.float32))
+        data[self.image_field] = out
+        return data
+
+
+class random_video_windower:
+    """Callable per-channel intensity windower (reference
+    transform_utils.py:193-225): one random window fraction shared across
+    channels, per-channel min/max/clip. Input and output (C, H, W)."""
+
+    def __init__(self, scale, rng=None):
+        scale = sorted(scale)
+        assert 0.0 < scale[0] <= scale[1] <= 1.0, (
+            f"scale range {scale} must be in (0, 1]")
+        self.scale = scale
+        self.rng = rng
+
+    def __call__(self, images):
+        rng = self.rng or np.random
+        chw = np.asarray(images, np.float32)
+        mins = chw.min(axis=(1, 2), keepdims=True)
+        maxs = chw.max(axis=(1, 2), keepdims=True)
+        sc = self.scale[0] + (self.scale[1] - self.scale[0]) * rng.rand()
+        rng_width = maxs - mins
+        locut = mins + rng_width * ((1.0 - sc) * rng.rand())
+        hicut = locut + sc * rng_width
+        alpha = (chw - locut) / (hicut - locut)
+        out = (1.0 - alpha) * mins + alpha * maxs
+        return np.clip(out, mins, maxs)
+
+
+class WindowImage:
+    """Dict wrapper over random_video_windower (reference
+    transform_utils.py:228-267). Sequence entries (1, T, H, W) are squeezed,
+    windowed with T as the channel axis, and re-expanded — the reference's
+    exact (quirky) behavior: each frame gets its own min/max window."""
+
+    def __init__(self, scale=(1.0, 1.0), image_field="image_sequence",
+                 is_sequence=True, is_label=False, rng=None):
+        self.image_field = image_field
+        self.is_sequence = is_sequence
+        self.is_label = is_label
+        self.windower = random_video_windower(scale, rng=rng)
+
+    def __call__(self, data):
+        data = dict(data)
+        out = []
+        for entry in data[self.image_field]:
+            if self.is_sequence:
+                windowed = self.windower(np.squeeze(np.asarray(entry, np.float32)))
+                out.append(np.expand_dims(windowed, 0))
+            elif self.is_label:
+                out.append(np.asarray(entry).astype(np.int64))
+            else:
+                out.append(self.windower(entry).astype(np.float32))
+        data[self.image_field] = out
+        return data
+
+
+class GaussianNoiseEcho:
+    """Cone-masked Gaussian noise over a list field (reference
+    camus_transforms.py:423-468, delegating to random_GaussNoiser)."""
+
+    def __init__(self, sig_range=(0.0, 0.0), field="images", rng=None):
+        self.sig_range = tuple(sorted(sig_range))
+        self.field = field
+        self.rng = rng
+
+    def __call__(self, data):
+        data = dict(data)
+        data[self.field] = [
+            echo_cone_gaussian_noise(e, self.sig_range, rng=self.rng)
+            for e in data[self.field]]
+        return data
+
+
+class RotateImages:
+    """Independent random apex rotation of a single field's entries
+    (reference camus_transforms.py:655-728) — the one-sided variant of
+    RotateImagesAndLabels for autoencoder inputs. Each entry draws its own
+    angle. The reference computes the rotation center from the
+    pre-transpose (C, H, W) shape, which lands on the apex top-center
+    (w/2-0.5, c-0.5) only for square single-channel images — the intended
+    apex center is used here."""
+
+    def __init__(self, scalestd=0.0, rtype="normal", field="images", order=1,
+                 rng=None):
+        assert 0.0 <= scalestd <= 60.0, f"scale {scalestd} must be in [0, 60]"
+        assert rtype in ("normal", "uniform")
+        self.scale = scalestd
+        self.rtype = rtype
+        self.field = field
+        self.order = order
+        self.rng = rng
+
+    def __call__(self, data):
+        data = dict(data)
+        out = []
+        for entry in data[self.field]:
+            angle = random_rotation_angle(self.scale, self.rtype, self.rng)
+            rot = rotate_about_apex(np.asarray(entry), angle, order=self.order)
+            out.append(rot.astype(np.float32) if self.order
+                       else rot.astype(np.int64))
+        data[self.field] = out
         return data
 
 

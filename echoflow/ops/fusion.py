@@ -94,6 +94,7 @@ def staple_fuse(
     raters: jnp.ndarray,
     num_iters: int = 30,
     init_pq: float = 0.99999,
+    undecided_label: int | None = None,
 ) -> jnp.ndarray:
     """Binary STAPLE-EM fusion of a (R, H, W) rater stack -> (H, W) uint8.
 
@@ -101,6 +102,15 @@ def staple_fuse(
     prior is the stack's global foreground fraction and stays fixed
     (ITK's convention). E-step computes P(truth=1 | decisions); M-step
     re-estimates (p, q) from the soft truth.
+
+    `undecided_label`: ITK's MultiLabelSTAPLEImageFilter convention for
+    exact posterior ties — a pixel whose class posteriors are equal gets
+    this label (ITK defaults it to one past the largest input label, i.e. 2
+    for a binary problem) instead of being forced to a class. None (default)
+    keeps the plain binary decision log_a >= log_b -> 1, which is what the
+    downstream LV-area pipeline expects. Exact ties are measure-zero for
+    real float posteriors but occur on adversarial integer-symmetric inputs
+    (see tests/test_fusion.py divergence-budget cases).
     """
     d = raters.astype(jnp.float32)  # (R, H, W)
     num_raters = d.shape[0]
@@ -150,7 +160,10 @@ def staple_fuse(
         + d * jnp.log(1.0 - q[:, None, None] + eps),
         axis=0,
     )
-    return (log_a >= log_b).astype(jnp.uint8)
+    decision = (log_a >= log_b).astype(jnp.uint8)
+    if undecided_label is not None:
+        decision = jnp.where(log_a == log_b, jnp.uint8(undecided_label), decision)
+    return decision
 
 
 def softmax_mean_fuse(probs: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:

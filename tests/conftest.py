@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache: this host has ONE CPU core, so fresh
+# jit compiles dominate test wall time. With the cache warm, repeat suite
+# runs drop from tens of minutes to a few.
+from echoflow.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
