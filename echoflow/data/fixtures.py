@@ -29,7 +29,14 @@ def _ellipse_chords(cy, cx, ry, rx, n_chords: int = 12):
 
 def make_synthetic_echonet_root(root: str, n_videos: int = 4,
                                 num_frames: int = 80, height: int = 112,
-                                width: int = 112, seed: int = 0) -> Path:
+                                width: int = 112, seed: int = 0,
+                                trace_file_order: str = "ed_first") -> Path:
+    """trace_file_order: which traced frame's rows come first in
+    VolumeTracings.csv. The real dataset follows the echonet package's
+    convention of listing the systolic (small) frame first ("es_first");
+    "ed_first" (default, kept for existing tests) produces files whose
+    file-order and area-order ED/ES assignments deliberately disagree —
+    the QA module's trace_order_mismatches case."""
     import cv2
     import pandas as pd
 
@@ -59,8 +66,14 @@ def make_synthetic_echonet_root(root: str, n_videos: int = 4,
         base, amp = 20.0, 8.0
         r_ed = base + amp * np.sin(2 * np.pi * ed / period)
         r_es = base + amp * np.sin(2 * np.pi * es / period)
-        for frame_idx, r in ((ed, r_ed), (es, r_es)):
-            for (x1, y1, x2, y2) in _ellipse_chords(cy, cx, 1.6 * r, r):
+        frame_order = ((ed, r_ed), (es, r_es))
+        if trace_file_order == "es_first":
+            frame_order = ((es, r_es), (ed, r_ed))
+        for frame_idx, r in frame_order:
+            # 21 rows per traced frame (long axis + 20 chords), matching the
+            # real dataset's layout (meta notebook cell 5: 2 x 21 = 42 rows).
+            for (x1, y1, x2, y2) in _ellipse_chords(cy, cx, 1.6 * r, r,
+                                                    n_chords=20):
                 trace_rows.append(dict(FileName=name, X1=x1, Y1=y1, X2=x2,
                                        Y2=y2, Frame=frame_idx))
 
