@@ -20,7 +20,18 @@ os.environ["_ECHOFLOW_DRYRUN_CHILD"] = "1"
 
 import jax  # noqa: E402
 
+# The env var alone is NOT enough here: this environment's sitecustomize
+# imports jax at interpreter start (to register the TPU PJRT plugin), so
+# jax's config snapshot of JAX_PLATFORMS predates the line above and the
+# suite would silently run on the real TPU chip. The config update rebinds
+# platform selection before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", (
+    f"test suite must run on the virtual CPU mesh, got {jax.default_backend()}")
+assert jax.device_count() >= 8, (
+    f"need 8 virtual CPU devices, got {jax.device_count()}")
 
 # Persistent XLA compilation cache: this host has ONE CPU core, so fresh
 # jit compiles dominate test wall time. With the cache warm, repeat suite

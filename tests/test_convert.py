@@ -22,6 +22,10 @@ import jax.numpy as jnp
 from echoflow.models.convert import assert_tree_matches_model, convert_state_dict
 from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables, midplanes
 
+# Full-model CPU compiles: minutes on this 1-core host (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 
 def _c2p1(i, o, mid, stride=1):
     return nn.Sequential(

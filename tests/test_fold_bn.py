@@ -1,5 +1,6 @@
 """BN folding: folded model must reproduce the unfolded eval logits."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -7,6 +8,10 @@ import jax.numpy as jnp
 
 from echoflow.models.fold_bn import fold_variables
 from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+
+# Full-model CPU compiles: minutes on this 1-core host (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 
 def test_folded_matches_unfolded(rng):

@@ -19,12 +19,16 @@ from echoflow.train.generic import (
     run_validation,
 )
 from echoflow.utils.visualize import (
+
     box_plot_outliers,
     find_outlier,
     get_class_pixels,
     label2LabColorMap,
     plotContours,
 )
+
+# Full-model CPU compiles: minutes on this 1-core host (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _toy_records(n=8, h=16, w=16, seed=0):

@@ -139,6 +139,7 @@ def test_deformation_motion_loss_matches(clip):
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ed,es", [(1, 4), (0, 5), (2, 3), (0, 1)])
 def test_motion_seg_loss_matches(clip, ed, es):
     video, motion, seg, labels_ed, labels_es = clip
@@ -203,6 +204,7 @@ def t_single_label_motion_seg(label, label_index, motion, seg):
     return (loss_fwd + loss_bwd) / count
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("label_idx", [0, 2, 5])
 def test_single_label_motion_seg_loss_matches(clip, label_idx):
     _, motion, seg, labels_ed, _ = clip
@@ -215,6 +217,7 @@ def test_single_label_motion_seg_loss_matches(clip, label_idx):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ed_es_only_total_loss_matches(clip):
     """Full ed-or-es-only objective vs the notebook cell 7 math."""
     video, motion, seg, labels_ed, labels_es = clip
@@ -254,6 +257,7 @@ def test_ed_es_only_total_loss_matches(clip):
     assert set(aux) >= {"ota", "flow", "edes_bce"}
 
 
+@pytest.mark.slow
 def test_total_loss_grad_flows(clip):
     video, motion, seg, labels_ed, labels_es = clip
     ed_idx = jnp.array([1, 1])

@@ -7,12 +7,16 @@ import numpy as np
 import pytest
 
 from echoflow.models.r2plus1d import (
+
     R2Plus1DBackbone,
     R2Plus1DMotionSegNet,
     init_variables,
     midplanes,
     param_count,
 )
+
+# Full-model CPU compiles: minutes on this 1-core host (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def test_midplanes_rule():

@@ -80,11 +80,15 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     save_checkpoint(path, state, extra={"epoch": 3})
     loaded, extra = load_checkpoint(path)
     assert extra["epoch"] == 3
-    orig = jax.tree.leaves(jax.tree.map(np.asarray, jax.device_get(state)))
-    back = jax.tree.leaves(loaded)
-    assert len(orig) == len(back)
-    for a, b in zip(orig, back):
-        np.testing.assert_array_equal(a, b)
+    # Checkpoints store a class-independent dict; compare field by field
+    # (a dict flattens in sorted-key order, a TrainState in field order —
+    # comparing raw leaf lists would zip mismatched tensors).
+    for field in ("step", "params", "batch_stats", "opt_state", "rng"):
+        orig = jax.tree.leaves(jax.device_get(getattr(state, field)))
+        back = jax.tree.leaves(loaded[field])
+        assert len(orig) == len(back), field
+        for a, b in zip(orig, back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_remat_step_matches(tiny_setup):
