@@ -29,6 +29,39 @@ def get_all_possible_start_points(ed_index: int, es_index: int,
     return np.arange(lo, hi + 1, dtype=np.int64) if hi >= lo else np.asarray([], np.int64)
 
 
+def start_points_covering_frame(mid_index: int, video_length: int,
+                                clip_length: int = 32) -> np.ndarray:
+    """All clip starts whose window contains `mid_index` — the ed/es-only
+    study notebook's single-frame `get_all_possible_start_points`
+    (echonet_dynamic_test_dataset_ed_or_es_only_clips.ipynb cell 3).
+
+    Reference quirks preserved: the upper end is clamped to
+    `video_length - clip_length - 1` (one short of the last valid start)
+    whenever the unclamped window would run past the video."""
+    lo = max(0, mid_index - clip_length + 1)
+    hi = mid_index + 1
+    if hi + clip_length >= video_length:
+        hi = video_length - clip_length - 1
+    return np.arange(lo, hi, dtype=np.int64)
+
+
+def start_points_of_ed_to_es_clips(ed_index: int, es_index: int,
+                                   video_length: int,
+                                   clip_length: int = 32) -> np.ndarray:
+    """Exact-semantics twin of the notebooks'
+    `get_all_possible_start_points_of_ED_to_ES_clips` (consecutive-clips
+    notebook cell 3). Same result as `get_all_possible_start_points` except
+    for a systole strictly longer than the clip, where the reference
+    returns `[ed]` (a window that cannot actually cover ES) instead of the
+    empty set. One deliberate divergence: for videos so short that the
+    reference's arithmetic yields negative start indices (which would slice
+    from the video's tail), starts are clamped to 0."""
+    if es_index - ed_index > clip_length:
+        return np.asarray([ed_index], dtype=np.int64)
+    return get_all_possible_start_points(ed_index, es_index, video_length,
+                                         clip_length)
+
+
 def ef_from_traces(ed_mask: np.ndarray, es_mask: np.ndarray) -> float:
     """Oracle EF from ground-truth ED/ES masks — the clinical-trace-derived
     EF floor of the reference's EF notebook (cells 15-17)."""
