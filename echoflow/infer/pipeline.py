@@ -183,17 +183,29 @@ class VideoSegmenter:
     bucket: int = 64
     fold_bn: bool = True
     mesh: object = None
+    decoder: str = "xla"  # "xla" | "pallas" | "model" (see __post_init__)
 
     def __post_init__(self):
-        if self.fold_bn and "batch_stats" in self.variables:
+        if self.fold_bn:
             # Inference-only engine: absorb every BatchNorm into its conv
-            # (exact; see models/fold_bn.py).
-            from echoflow.models.fold_bn import fold_variables
+            # (exact; see models/fold_bn.py). Variables without batch_stats
+            # are taken as already folded.
+            if "batch_stats" in self.variables:
+                from echoflow.models.fold_bn import fold_variables
 
-            self.variables = fold_variables(self.variables)
+                self.variables = fold_variables(self.variables)
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype, folded=True)
+            self._folded = True
         else:
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype)
+            self._folded = False
+        # Decoder backend for the folded forward: "xla" runs the decoder
+        # as einsums with the unused motion head dead-code-eliminated
+        # (bit-identical to the flax module, ~4% faster); "pallas" is the
+        # experimental fused decoder kernel (ops/pallas/decoder_kernel.py
+        # — single-device TPU only); "model" forces the plain flax apply.
+        if not self._folded or (self.decoder == "pallas" and self.mesh is not None):
+            self.decoder = "model"
         # Pin the weights on device once — passing host arrays into the
         # jitted graph would re-transfer ~126 MB per call. With a mesh,
         # replicate them across every device up front.
@@ -254,8 +266,17 @@ class VideoSegmenter:
                 clips = jnp.concatenate(
                     [clips, jnp.zeros((pad_clips, *clips.shape[1:]), clips.dtype)])
 
+            decoder = self.decoder
+
             def fwd_chunk(xs):
-                seg, _ = model.apply(variables, xs, train=False)
+                if decoder == "model":
+                    seg, _ = model.apply(variables, xs, train=False)
+                else:
+                    from echoflow.models.fast_forward import folded_forward
+
+                    seg, _ = folded_forward(
+                        variables, xs, dtype=self.dtype,
+                        pallas=(decoder == "pallas"), with_motion=False)
                 return jax.nn.softmax(seg, axis=1)
 
             xs_all = clips.reshape(n_chunks, chunk, 3, CLIP_LEN, h, w)

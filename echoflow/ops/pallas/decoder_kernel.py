@@ -1,0 +1,218 @@
+"""Fused Pallas TPU kernel for the MotionNet decoder tail.
+
+Motivation (measured on v5e, 30-clip inference chunk): after the backbone
+(~90 ms) the XLA decoder costs another ~80 ms, nearly all of it HBM
+bandwidth — each tap's spatial upsample, the 5-way accumulation, the two
+combine 1x1x1 convs and the heads every materialize full-resolution
+(B, T, 112, 112, 64) float32 tensors (~3 GB apiece) in HBM. This kernel
+computes, for one (batch, frame) grid cell entirely in VMEM:
+
+    seg, motion = heads(relu(comb2(relu(sum_r upsample_hw(proj_r) + b1))))
+
+reading only the native-resolution projections (~1 MB per frame) and
+writing only the 2+4 channel outputs — one HBM pass instead of ~10.
+
+The spatial upsample is the same separable matrix-resize the XLA path uses
+(ops/resize.py: dense (dst, src) interpolation matrices, both
+align_corners conventions), so the math is identical up to fp reordering;
+matmuls run at HIGHEST precision on the MXU.
+
+Layout trick (no lane-crossing reshapes or transposes anywhere — Mosaic
+rejects those): every contraction is a rank-4 `dot_general` over the
+LHS's dim-1 ("middle-dim" form, which Mosaic lowers to MXU matmuls),
+and each contraction rotates the next contraction's axis into dim 1:
+
+    x   (1, hr, wr, C)
+    a   = x  x_hr Hm   -> (1, wr, C, H)     # dg(x, Hm (H,hr), 1/1)
+    b   = a  x_wr Wm   -> (1, C, H, W)      # dg(a, Wm (W,wr), 1/1)
+    y   = relu(acc + b1)                    # (1, C, H, W)
+    y2  = relu(y x_C W2T + b2) -> (1, H, W, D)
+    seg = y2 @ Ws + bs                      # (1, H, W, 2) (minor-dim dg)
+    mot = tanh(y2 @ Wm + bm)                # (1, H, W, 4)
+
+Used by the inference engine on folded variables only (BNs absorbed into
+conv biases — models/fold_bn.py); training and unfolded paths keep the XLA
+decoder. Reference semantics: R2plus1D_18_MotionNet.py:41-69 (upsample,
+concat, two combine blocks, two heads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from echoflow.ops.resize import linear_resize_matrix
+
+_INTERPRET = False
+
+
+def set_interpret_mode(on: bool):
+    """Run the kernel in the Pallas interpreter (CPU testing)."""
+    global _INTERPRET
+    _INTERPRET = bool(on)
+
+
+def _kernel(*refs, sizes, h_out, w_out, cch, n_src, with_motion):
+    p_refs = refs[:n_src]
+    hm_refs = refs[n_src:2 * n_src]
+    wmt_refs = refs[2 * n_src:3 * n_src]
+    if with_motion:
+        b1, w2, b2, ws, wm = refs[3 * n_src:3 * n_src + 5]
+        seg_out, mot_out = refs[3 * n_src + 5:]
+    else:
+        b1, w2, b2, ws = refs[3 * n_src:3 * n_src + 4]
+        (seg_out,) = refs[3 * n_src + 4:]
+
+    def mid_dot(lhs, rhs):
+        # contract lhs dim 1 with rhs dim 1 (the Mosaic-supported rank-4
+        # middle-dim form); result = (*lhs_other_dims, rhs_dim0). All dots
+        # run the MXU's native bf16 path with f32 accumulation — the same
+        # effective precision as the XLA model's default-precision
+        # conv/einsum decoder.
+        return jax.lax.dot_general(lhs, rhs, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    acc = None
+    for p_ref, hm_ref, wm_ref, (hr, wr) in zip(p_refs, hm_refs, wmt_refs, sizes):
+        # A native-resolution tap gets identity matrices from
+        # linear_resize_matrix — same matmul path.
+        x = p_ref[0]                                        # (1, hr, wr, C) bf16
+        a = mid_dot(x, hm_ref[:])                           # (1, wr, C, Hb) f32
+        b = mid_dot(a.astype(x.dtype), wm_ref[:])           # (1, C, Hb, W) f32
+        acc = b if acc is None else acc + b
+
+    # Biases arrive pre-shaped rank-4 from the host (b1 tiled over lanes)
+    # because Mosaic rejects in-kernel reshapes that move the lane dim.
+    y = jnp.maximum(acc + b1[:], 0.0)                        # (1, C, Hb, W)
+    y2 = mid_dot(y.astype(jnp.bfloat16), w2[:])              # (1, Hb, W, C2)
+    y2 = jnp.maximum(y2 + b2[:], 0.0)
+    # The seg/motion heads have 2/4 output channels — as MXU matmuls the
+    # output dim pads to 128 (64x wasted passes), so they run as VPU
+    # lane-reductions instead, one output channel at a time, written
+    # straight into the channel-major out blocks ((..., C, W) layout keeps
+    # the out-block lane dim W). Head biases and the motion tanh are
+    # applied by the XLA wrapper (cheap elementwise; avoids scalar loads).
+    for k in range(ws.shape[0]):
+        seg_out[0, :, :, k] = jnp.sum(y2 * ws[k], axis=-1)
+    if with_motion:
+        for k in range(wm.shape[0]):
+            mot_out[0, :, :, k] = jnp.sum(y2 * wm[k], axis=-1)
+
+
+def _param_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b, t, hb, _n=nd: (0,) * _n,
+                        memory_space=pltpu.VMEM)
+
+
+def fused_decoder_heads(projs, b1, w2, b2, ws, bs, wm=None, bm=None,
+                        out_hw=None, align_corners=True, with_motion=True):
+    """projs: list of (B, T, Hr, Wr, C) float32 native-resolution tap
+    projections (same-resolution taps pre-summed, T already at full length).
+    Weights: b1 (C,), w2 (C, C2), b2 (C2,), ws (C2, 2), bs (2,),
+    wm (C2, 4), bm (4,). Returns (seg (B, T, H, W, 2),
+    motion (B, T, H, W, 4) or None when with_motion=False)."""
+    h_out, w_out = out_hw
+    bsz, t = projs[0].shape[:2]
+    cch = projs[0].shape[-1]
+    sizes = tuple((int(p.shape[2]), int(p.shape[3])) for p in projs)
+    n_src = len(projs)
+    with_motion = bool(with_motion and wm is not None)
+
+    # Block the output H axis so the per-program VMEM footprint (sources +
+    # (C, Hb, W) accumulator + (Hb, W, C2) activations) stays well under
+    # the ~16 MB budget; sources are small and stay whole, so only the
+    # H-resize matrices' rows are blocked. hb is the fastest grid dim —
+    # source blocks keep the same index across hb steps and are not
+    # re-DMA'd.
+    n_hb = 1
+    while (h_out // n_hb) * w_out * cch * 4 * 3 > 24 * 2 ** 20 \
+            and (h_out // n_hb) % 16 == 0:
+        n_hb *= 2  # Pallas wants blocked sublane dims divisible by 8
+    assert h_out % n_hb == 0, (h_out, n_hb)
+    h_blk = h_out // n_hb
+
+    h_mats = [linear_resize_matrix(hr, h_out, align_corners) for hr, _ in sizes]
+    w_mats = [linear_resize_matrix(wr, w_out, align_corners) for _, wr in sizes]
+
+    # Projections and resize matrices ship as bf16: halves their VMEM
+    # residency + HBM traffic. They are default-precision (bf16-rounded)
+    # activations in the XLA model anyway; every dot accumulates in f32.
+    # One frame per program: t_blk=2 was measured to OOM the Mosaic
+    # compile at 112x112 (the 48 MB VMEM window doubles per extra frame).
+    t_blk = 1
+    p_specs = [
+        pl.BlockSpec((1, t_blk, hr, wr, cch), lambda b, tt, hb: (b, tt, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for hr, wr in sizes
+    ]
+    mat_specs = ([pl.BlockSpec((h_blk, hr), lambda b, tt, hb: (hb, 0),
+                               memory_space=pltpu.VMEM) for hr, _ in sizes] +
+                 [_param_spec((w_out, wr)) for _, wr in sizes])
+    w2t = jnp.asarray(w2, jnp.bfloat16).T  # mid-dot form wants (C2, C)
+    c2 = w2.shape[1]
+    n_seg, n_mot = ws.shape[1], (wm.shape[1] if wm is not None else 0)
+    b1_t = jnp.tile(jnp.asarray(b1, jnp.float32).reshape(1, cch, 1, 1),
+                    (1, 1, 1, w_out))
+    w_shapes = [(1, cch, 1, w_out), (c2, cch), (1, 1, 1, c2), (n_seg, c2)]
+    w_args = [b1_t, w2t, jnp.asarray(b2, jnp.float32).reshape(1, 1, 1, -1),
+              jnp.asarray(ws, jnp.float32).T]
+    out_spec = lambda c: pl.BlockSpec((1, t_blk, h_blk, c, w_out),
+                                      lambda b, tt, hb: (b, tt, hb, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((bsz, t, h_out, n_seg, w_out), jnp.float32)]
+    out_specs = [out_spec(n_seg)]
+    if with_motion:
+        w_shapes.append((n_mot, c2))
+        w_args.append(jnp.asarray(wm, jnp.float32).T)
+        out_shapes.append(jax.ShapeDtypeStruct((bsz, t, h_out, n_mot, w_out), jnp.float32))
+        out_specs.append(out_spec(n_mot))
+    w_specs = [_param_spec(s) for s in w_shapes]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, sizes=sizes, h_out=h_out, w_out=w_out,
+                          cch=cch, n_src=n_src, with_motion=with_motion),
+        out_shape=tuple(out_shapes),
+        grid=(bsz, t // t_blk, n_hb),
+        in_specs=p_specs + mat_specs + w_specs,
+        out_specs=tuple(out_specs),
+        # The default scoped-vmem cap is ~16 MB; v5e has 128 MB of VMEM.
+        # This kernel's working set (sources + (C, Hb, W) accumulator +
+        # activations + Mosaic relayout copies) wants ~20 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 2 ** 20),
+        interpret=_INTERPRET,
+    )(*[p.astype(jnp.bfloat16) for p in projs],
+      *[m.astype(jnp.bfloat16) for m in h_mats],
+      *[m.astype(jnp.bfloat16) for m in w_mats],
+      *w_args)
+    # Kernel stores bias-free (B, T, H, C, W); head biases + the motion
+    # tanh land here (cheap elementwise), then channels-last is restored.
+    seg = jnp.swapaxes(out[0] + jnp.asarray(bs, jnp.float32).reshape(1, 1, 1, -1, 1), 3, 4)
+    if with_motion:
+        mot = jnp.tanh(out[1] + jnp.asarray(bm, jnp.float32).reshape(1, 1, 1, -1, 1))
+        return seg, jnp.swapaxes(mot, 3, 4)
+    return seg, None
+
+
+def xla_reference_decoder_heads(projs, b1, w2, b2, ws, bs, wm, bm,
+                                out_hw, align_corners=True):
+    """Pure-XLA statement of the same math (test oracle)."""
+    from echoflow.ops.resize import trilinear_resize
+
+    h_out, w_out = out_hw
+    t = projs[0].shape[1]
+    acc = None
+    for p in projs:
+        up = trilinear_resize(p, (t, h_out, w_out),
+                              align_corners=align_corners, axes=(1, 2, 3))
+        acc = up if acc is None else acc + up
+    y = jnp.maximum(acc + b1, 0.0)
+    y2 = jnp.maximum(jnp.einsum("...c,cd->...d", y, w2,
+                                precision="highest") + b2, 0.0)
+    seg = jnp.einsum("...c,cd->...d", y2, ws, precision="highest") + bs
+    mot = jnp.tanh(jnp.einsum("...c,cd->...d", y2, wm, precision="highest") + bm)
+    return seg, mot
