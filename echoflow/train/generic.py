@@ -79,6 +79,50 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
 
 # -------------------------------------------------------------------- losses
 
+class BetterLoss:
+    """Weighted cross-entropy as a callable loss object (reference
+    BetterLoss, torch_utils.py:230-242: a class wrapper over
+    nn.CrossEntropyLoss with optional per-class weights)."""
+
+    def __init__(self, weight=None):
+        self.weight = None if weight is None else jnp.asarray(
+            np.asarray(weight, np.float32))
+
+    def __call__(self, logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        logp = jax.nn.log_softmax(logits, axis=1)
+        picked = jnp.take_along_axis(
+            logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+        if self.weight is None:
+            return -jnp.mean(picked)
+        # torch's weighted CE: sum(w_y * nll) / sum(w_y).
+        w = self.weight[labels.astype(jnp.int32)]
+        return -jnp.sum(w * picked) / jnp.sum(w)
+
+
+class OneHotBatch:
+    """Batch transform: integer labels (N, 1, H, W) or (N, H, W) ->
+    one-hot (N, C, H, W) float (reference OneHotBatch,
+    torch_utils.py:612-635). Faithful quirk: like the reference's
+    onehot_initialization_v2, the channel count is inferred per entry as
+    max(label)+1 — the stored labelCount is not consulted — so a batch
+    whose entries peak at different labels fails to stack, exactly as the
+    original does."""
+
+    def __init__(self, labelCount: int = 4, outtype=np.float32):
+        self.labelCount = labelCount
+        self.outtype = outtype
+
+    def _one_hot(self, a: np.ndarray) -> np.ndarray:
+        ncols = int(a.max()) + 1
+        out = np.zeros((ncols, a.size), dtype=self.outtype)
+        out[a.ravel(), np.arange(a.size)] = 1
+        return out.reshape((ncols,) + a.shape)
+
+    def __call__(self, data) -> np.ndarray:
+        return np.stack([self._one_hot(np.asarray(entry).squeeze())
+                         for entry in data])
+
+
 def foreground_dice_loss(logits: jnp.ndarray, one_hot: jnp.ndarray) -> jnp.ndarray:
     """Softmax Dice summed over foreground classes, negated, per batch item
     (reference DiceLoss, torch_utils.py:248-288)."""

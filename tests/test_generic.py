@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from echoflow.infer.ef import ef_from_traces, get_all_possible_start_points
 from echoflow.train.generic import (
+    BetterLoss,
+    OneHotBatch,
     ShapeAutoencoder,
     TransformDataset,
     acnn_loss,
@@ -143,3 +145,28 @@ def test_viz_helpers(rng, tmp_path):
     mask = (rng.rand(16, 16) > 0.7).astype(np.uint8)
     canvas = plotContours(img, [mask])
     assert canvas.shape == (16, 16, 3)
+
+
+def test_better_loss_matches_torch_weighted_ce():
+    import torch
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(3, 4, 8, 8).astype(np.float32)
+    labels = rng.randint(0, 4, (3, 8, 8))
+    weight = rng.rand(4).astype(np.float32) + 0.5
+
+    ours_plain = BetterLoss()(jnp.asarray(logits), jnp.asarray(labels))
+    ours_w = BetterLoss(weight)(jnp.asarray(logits), jnp.asarray(labels))
+    t_plain = torch.nn.CrossEntropyLoss()(torch.tensor(logits), torch.tensor(labels))
+    t_w = torch.nn.CrossEntropyLoss(weight=torch.tensor(weight))(
+        torch.tensor(logits), torch.tensor(labels))
+    np.testing.assert_allclose(float(ours_plain), float(t_plain), rtol=1e-5)
+    np.testing.assert_allclose(float(ours_w), float(t_w), rtol=1e-5)
+
+
+def test_one_hot_batch_semantics():
+    labels = np.stack([np.array([[0, 1], [2, 3]]), np.array([[3, 3], [0, 1]])])
+    out = OneHotBatch()(labels[:, None])  # (N, 1, h, w) form
+    assert out.shape == (2, 4, 2, 2)
+    assert out[0, 1, 0, 1] == 1 and out[0].sum() == 4
+    np.testing.assert_array_equal(np.argmax(out, axis=1), labels)
