@@ -559,3 +559,27 @@ def load_camus_sequence(tagged_path: str, num_frames: int = 10,
     if video.shape[0] != num_frames:
         video = resample_sequence_frames(video, num_frames)
     return video
+
+
+# ----------------------------------------------------- reference-named shims
+
+class random_GaussNoiser:
+    """Bare-image cone-masked Gaussian noiser (reference
+    camus_transforms.py:368-393; the dict-pipeline GaussianNoiseEcho above
+    delegates to the same op)."""
+
+    def __init__(self, sig_range):
+        self.sig_range = tuple(sorted(sig_range))
+        assert 0.0 <= self.sig_range[0] and self.sig_range[1] <= 1.0, \
+            f"random_GaussNoiser: sig_range {sig_range} must be in [0.0, 1.0]."
+
+    def __call__(self, img, sig=None):
+        return echo_cone_gaussian_noise(img, self.sig_range, sig=sig)
+
+
+# camus_transforms.py:395-420 defines random_SpeckleNoiser as a verbatim
+# duplicate of random_GaussNoiser; same here.
+random_SpeckleNoiser = random_GaussNoiser
+
+# camus_transforms.py:799-805.
+identity_Transform = IdentityTransform

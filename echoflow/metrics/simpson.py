@@ -121,3 +121,14 @@ def computeSimpsonVolume(a2bin, a4bin, a2pix, a4pix) -> float:
     l2, r2 = get2dPucks(a2bin, a2pix)
     l4, r4 = get2dPucks(a4bin, a4pix)
     return float(((max(l2, l4) * np.pi) / len(r2)) * np.sum(r2 * r4))
+
+
+def nan_helper(y):
+    """Logical NaN indices + logical->positional converter, the reference's
+    interpolation helper (echo_utils.py:217-232):
+
+        nans, x = nan_helper(y)
+        y[nans] = np.interp(x(nans), x(~nans), y[~nans])
+    """
+    y = np.asarray(y)
+    return np.isnan(y), lambda z: z.nonzero()[0]

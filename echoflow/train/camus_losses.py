@@ -167,3 +167,52 @@ def sgs_ots_loss(labels_ed, labels_es, motion, seg_softmax,
 
     sgs = (loss_fwd + loss_bwd) / (2.0 * (t_len - 2) * omega * n_cls)
     return sgs, ots / (2.0 * omega * n_cls)
+
+
+# --------------------------------------------------------- reference names
+# Thin aliases with the reference's exact names and calling conventions
+# (loss_functions.py). `labels` is the reference's data dict carrying
+# "label_ED"/"label_ES"; label images may be (N, H, W) or (N, 1, H, W).
+
+def _squeeze_label(label):
+    return label[:, 0] if label.ndim == 4 and label.shape[1] == 1 else label
+
+
+def OTA_loss(source_image, motion_field, regulator_gamma=10):
+    """loss_functions.py:93-120."""
+    return ota_loss(source_image, motion_field, regulator_gamma=regulator_gamma)
+
+
+def SGA_loss(labels, seg_out, seg_softmax, omega=1, weighted=False):
+    """loss_functions.py:159-192."""
+    return sga_loss(_squeeze_label(labels["label_ED"]),
+                    _squeeze_label(labels["label_ES"]),
+                    seg_out, seg_softmax, omega=omega, weighted=weighted)
+
+
+def SGS_OTS_loss(labels, motion_output, seg_softmax, omega=1, weighted=False):
+    """loss_functions.py:208-277."""
+    return sgs_ots_loss(_squeeze_label(labels["label_ED"]),
+                        _squeeze_label(labels["label_ES"]),
+                        motion_output, seg_softmax,
+                        omega=omega, weighted=weighted)
+
+
+def dice_loss(softmax_output, label, class_index=0, eps=0):
+    """loss_functions.py:137-156 (label already one-hot, (N, C, H, W))."""
+    return class_dice_loss(softmax_output, label, class_index, eps=eps)
+
+
+def huber_loss(x):
+    """loss_functions.py:66-77 (the TV-ish sqrt(0.01 + err) flow smoother)."""
+    from echoflow.train.losses import huber_smoothness
+
+    return huber_smoothness(x)
+
+
+def convert_to_1hot_tensor(label, n_class):
+    """loss_functions.py:195-205: (N, 1, H, W) int -> (N, C, H, W) one-hot,
+    all on device."""
+    from echoflow.ops.normalize import one_hot_channels
+
+    return one_hot_channels(label, n_class)

@@ -303,3 +303,22 @@ def run_training_acnn(apply_fn, params, ae: ShapeAutoencoder, ae_variables,
     return run_training(apply_fn, params, data_iterator, effective_batchsize,
                         criterion=criterion, learning_rate=learning_rate,
                         weight_decay=weight_decay, keys=keys)
+
+
+def run_validation_acnn(apply_fn, params, ae: ShapeAutoencoder, ae_variables,
+                        data_iterator, prior_weight: float = 1e-2,
+                        keys=("images", "labels"), do_dice: bool = True,
+                        do_cleaning: bool = False):
+    """One ACNN validation pass: the generic pass with the shape-prior
+    criterion, so reported loss = CE + prior exactly as training optimizes
+    (reference run_validation_ACNN, torch_utils.py:765-854)."""
+    criterion = lambda logits, labels: acnn_loss(
+        logits, labels, ae, ae_variables, prior_weight)
+    return run_validation(apply_fn, params, data_iterator,
+                          criterion=criterion, keys=keys, do_dice=do_dice,
+                          do_cleaning=do_cleaning)
+
+
+# Reference-cased aliases (torch_utils.py names).
+run_training_ACNN = run_training_acnn
+run_validation_ACNN = run_validation_acnn

@@ -172,3 +172,34 @@ def save_animation_from_images(images, filename: str, fps: int = 15):
     pil[0].save(filename, save_all=True, append_images=pil[1:],
                 duration=int(1000 / fps), loop=0)
     return filename
+
+
+def categorical_dice(truth, pred, k, epi=False, individual=False,
+                     epsilon=1e-7):
+    """Statistics-flavored class dice on argmax label maps (reference
+    visualization_utils.py:133-162; note the (truth, pred) argument order —
+    the loss-flavored twin in echoflow.metrics.dice takes (prediction,
+    truth)). `epi=True` groups LV+Myo (labels 1 and 2); `individual=True`
+    returns per-sample dices over the trailing 2 axes instead of the mean."""
+    truth = np.asarray(truth)
+    pred = np.asarray(pred)
+    if epi:
+        a = ((pred == 1) | (pred == 2)).astype(np.float32)
+        b = ((truth == 1) | (truth == 2)).astype(np.float32)
+    else:
+        a = (pred == k).astype(np.float32)
+        b = (truth == k).astype(np.float32)
+    inter = np.sum(a * b, axis=(-1, -2))
+    dice = 2.0 * inter / (np.sum(a, axis=(-1, -2)) + np.sum(b, axis=(-1, -2)) + epsilon)
+    return dice if individual else float(np.mean(dice))
+
+
+def get_all_dice(pred, truth, LVepi=False, individual=False):
+    """Per-class dice dict over the 4 CAMUS classes (reference
+    visualization_utils.py:165-184). `LVepi=True` reports Background / Endo
+    (LV) / Epi (LV+Myo union) / LA."""
+    names = ["Background", "Endo", "Epi", "LA"] if LVepi else \
+        ["Background", "LV", "Myo", "LA"]
+    return {name: categorical_dice(truth, pred, index, epi=(name == "Epi"),
+                                   individual=individual)
+            for index, name in enumerate(names)}

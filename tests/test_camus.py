@@ -6,6 +6,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from echoflow.train.camus_losses import (
@@ -183,3 +184,75 @@ def test_train_camus_on_fake_camus_dir(tmp_path):
         "--data", str(tmp_path), "--epochs", "1", "--batch-size", "2",
         "--image-size", "32"])
     assert {"LV", "Myo", "LA", "LVepi"} <= set(dices)
+
+
+# ---------------------------------------------------- reference-named aliases
+
+def test_reference_named_loss_aliases(rng):
+    from echoflow.train.camus_losses import (
+        OTA_loss, SGA_loss, SGS_OTS_loss, convert_to_1hot_tensor,
+        dice_loss, huber_loss, ota_loss, sga_loss, sgs_ots_loss,
+    )
+
+    n, t, h, w = 1, 10, 16, 16
+    video = jnp.asarray(rng.rand(n, 1, t, h, w), jnp.float32)
+    motion = jnp.asarray(0.05 * rng.randn(n, 4, t, h, w), jnp.float32)
+    logits = jnp.asarray(rng.randn(n, 4, t, h, w), jnp.float32)
+    softmax = jax.nn.softmax(logits, axis=1)
+    lab_ed = jnp.asarray(rng.randint(0, 4, (n, h, w)))
+    lab_es = jnp.asarray(rng.randint(0, 4, (n, h, w)))
+    labels = {"label_ED": lab_ed, "label_es": None, "label_ES": lab_es}
+
+    np.testing.assert_allclose(float(OTA_loss(video, motion)),
+                               float(ota_loss(video, motion)))
+    np.testing.assert_allclose(
+        float(SGA_loss(labels, logits, softmax)),
+        float(sga_loss(lab_ed, lab_es, logits, softmax)))
+    a = SGS_OTS_loss(labels, motion, softmax)
+    b = sgs_ots_loss(lab_ed, lab_es, motion, softmax)
+    np.testing.assert_allclose(float(a[0]), float(b[0]))
+    np.testing.assert_allclose(float(a[1]), float(b[1]))
+
+    one_hot = convert_to_1hot_tensor(lab_ed[:, None], 4)
+    assert one_hot.shape == (n, 4, h, w)
+    assert float(jnp.sum(one_hot)) == n * h * w
+    # perfect prediction -> dice loss ~ 0 for a present class
+    loss = dice_loss(one_hot, one_hot, class_index=1, eps=1e-7)
+    assert float(loss) < 1e-5
+    assert np.isfinite(float(huber_loss(jnp.asarray(
+        rng.randn(2, 2, h, w), jnp.float32))))
+
+
+def test_visualize_categorical_dice_and_get_all_dice():
+    from echoflow.utils.visualize import categorical_dice, get_all_dice
+
+    pred = np.zeros((2, 1, 8, 8), int)
+    pred[:, :, :4] = 1
+    truth = pred.copy()
+    truth[:, :, 4:6] = 2
+    # LV dice: perfect overlap on rows :4
+    assert categorical_dice(truth, pred, 1) == pytest.approx(1.0, abs=1e-6)
+    # epi groups 1+2: pred misses the Myo rows
+    epi = categorical_dice(truth, pred, 0, epi=True)
+    assert epi == pytest.approx(2 * 32 / (32 + 48), rel=1e-5)
+    per_sample = categorical_dice(truth, pred, 1, individual=True)
+    assert per_sample.shape == (2, 1)
+    d = get_all_dice(pred, truth, LVepi=True)
+    assert set(d) == {"Background", "Endo", "Epi", "LA"}
+    assert d["Endo"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_speckle_noiser_and_identity_aliases(rng):
+    from echoflow.data.transforms import (
+        identity_Transform, random_GaussNoiser, random_SpeckleNoiser,
+    )
+
+    assert random_SpeckleNoiser is random_GaussNoiser  # verbatim duplicate
+    img = rng.rand(16, 16).astype(np.float32)
+    img[0] = 0.0  # outside the echo cone
+    noised = random_GaussNoiser((0.05, 0.1))(img)
+    assert noised.shape == img.shape
+    assert np.all(noised[0] == 0.0)  # noise never leaks outside the cone
+    assert (noised >= 0).all() and (noised <= 1).all()
+    data = {"x": 1}
+    assert identity_Transform()(data) == data
