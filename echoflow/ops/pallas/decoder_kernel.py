@@ -142,8 +142,9 @@ def fused_decoder_heads(projs, b1, w2, b2, ws, bs, wm=None, bm=None,
     # Projections and resize matrices ship as bf16: halves their VMEM
     # residency + HBM traffic. They are default-precision (bf16-rounded)
     # activations in the XLA model anyway; every dot accumulates in f32.
-    # One frame per program: t_blk=2 was measured to OOM the Mosaic
-    # compile at 112x112 (the 48 MB VMEM window doubles per extra frame).
+    # One frame per program: t_blk=2 compiles were measured to stall/OOM
+    # the Mosaic compile helper at 112x112 (the VMEM window doubles per
+    # extra frame).
     t_blk = 1
     p_specs = [
         pl.BlockSpec((1, t_blk, hr, wr, cch), lambda b, tt, hb: (b, tt, 0, 0, 0),
