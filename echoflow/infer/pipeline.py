@@ -184,6 +184,7 @@ class VideoSegmenter:
     fold_bn: bool = True
     mesh: object = None
     decoder: str = "xla"  # "xla" | "pallas" | "model" (see __post_init__)
+    operand_cache_size: int = 64  # LRU cap on per-length device operands
 
     def __post_init__(self):
         if self.fold_bn:
@@ -217,8 +218,10 @@ class VideoSegmenter:
                 jax.tree.map(jnp.asarray, self.variables), rep)
         else:
             self.variables = jax.tree.map(jnp.asarray, self.variables)
+        from collections import OrderedDict
+
         self._compiled = {}
-        self._operand_cache = {}
+        self._operand_cache = OrderedDict()
 
     # ---------------------------------------------------------------- graph
     def _graph(self, t_pad: int, k_num: int, fuse_method: str):
@@ -328,14 +331,20 @@ class VideoSegmenter:
         t_pad = max(self.bucket, -(-length // self.bucket) * self.bucket)
 
         # Device-resident operand cache: videos of the same length reuse the
-        # same resize/gather/validity tensors with zero re-transfer.
+        # same resize/gather/validity tensors with zero re-transfer. LRU —
+        # a production stream of many distinct lengths would otherwise pin
+        # a few MB of HBM per length forever.
         okey = (length, num_clips, step, t_pad)
-        if okey not in self._operand_cache:
+        if okey in self._operand_cache:
+            self._operand_cache.move_to_end(okey)
+        else:
             ops = _build_host_operands(length, num_clips, step, t_pad)
             self._operand_cache[okey] = (
                 ops["k_num"],
                 tuple(jnp.asarray(ops[k]) for k in ("fwd", "bwd", "gather_idx", "valid")),
             )
+            while len(self._operand_cache) > self.operand_cache_size:
+                self._operand_cache.popitem(last=False)
         k_num, dev_ops = self._operand_cache[okey]
 
         video = np.asarray(video)

@@ -142,3 +142,20 @@ def test_ef_pipeline_on_ground_truth_masks():
         assert min(abs(int(d) - beat.ed_frames)) <= 2 or d == 0
     for s in sys_:
         assert min(abs(int(s) - beat.es_frames)) <= 2
+
+
+def test_operand_cache_is_lru_bounded(tiny_model):
+    _, variables = tiny_model
+    seg = VideoSegmenter(dict(variables), bucket=32, operand_cache_size=3)
+    rng = np.random.RandomState(0)
+    outs = {}
+    for length in (33, 37, 41, 45, 49):
+        video = rng.rand(3, length, 32, 32).astype(np.float32)
+        outs[length] = seg.segment_video(video)
+    assert len(seg._operand_cache) == 3
+    # Evicted lengths still work (rebuilt) and reproduce identical masks.
+    video = rng.rand(3, 33, 32, 32).astype(np.float32)
+    a = seg.segment_video(video)
+    b = seg.segment_video(video)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (33, 32, 32)
