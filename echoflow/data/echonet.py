@@ -39,6 +39,11 @@ from echoflow.ops.normalize import zeroone_normalizer
 # Reference echonet_dataset.py:35 — test videos with broken RGB normalization.
 BLUE_VIDEOS = [89, 105, 325, 653, 721, 739]
 
+# Reference echonet_dataset.py:104-111 — test index whose video has a broken
+# frame rate (3x-upsampled temporally by the data layer). Single source of
+# truth: data.qa reports against these same constants.
+BROKEN_FRAMERATE_TEST_INDEX = 919
+
 
 def load_avi(path: str) -> np.ndarray:
     """Decode an AVI to (3, F, H, W) float32 RGB in [0, 255]."""
@@ -244,7 +249,7 @@ class EchoNetDynamicDataset:
         ed_index //= self.period
 
         # Test patient 919 has a broken frame rate (echonet_dataset.py:104-111).
-        if idx == 919 and self.split == "test":
+        if idx == BROKEN_FRAMERATE_TEST_INDEX and self.split == "test":
             factor = 3
             video = np.asarray(trilinear_resize(
                 jnp.asarray(video[None]),

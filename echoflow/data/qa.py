@@ -25,13 +25,13 @@ import numpy as np
 # notebooks).
 UNREADABLE_VIDEOS = ["0X5DD5283AC43CCDD1.avi"]
 
-# Reference echonet_dataset.py:35 — test-split indices whose videos are
-# miscolored ("blue"); the data layer grayscales them (BLUE_VIDEOS there).
-BLUE_TEST_INDICES = [89, 105, 325, 653, 721, 739]
+# Single source of truth for the hand-audited special-case indices is the
+# data layer itself (echoflow/data/echonet.py) — the QA surface reports
+# against the SAME constants the loading path applies.
+from echoflow.data.echonet import BLUE_VIDEOS as BLUE_TEST_INDICES
+from echoflow.data.echonet import BROKEN_FRAMERATE_TEST_INDEX
 
-# Reference echonet_dataset.py:104-111 — test index whose video has a
-# broken frame rate; the data layer 3x-upsamples it temporally.
-BROKEN_FRAMERATE_TEST_INDICES = [919]
+BROKEN_FRAMERATE_TEST_INDICES = [BROKEN_FRAMERATE_TEST_INDEX]
 
 # Fusion notebook cell 8 — test index whose video is truncated to its
 # first 80 frames before evaluation.
@@ -107,11 +107,22 @@ def trace_order_mismatches(index, shape=(112, 112)) -> list:
     ranking — the silently mislabeled cases the meta notebook eyeballs.
     These are exactly the videos where `traced_frames(order='file')` and
     `order='area'` differ."""
+    from echoflow.data.echonet import rasterize_trace
+
     mismatched = []
     for fname in index.traces:
         try:
-            ed_a, es_a, _, _ = index.traced_frames(fname, shape, order="area")
-            ed_f, es_f, _, _ = index.traced_frames(fname, shape, order="file")
+            # Rasterize each video's traces ONCE and derive both the
+            # area-order and file-order assignments from the same masks
+            # (two traced_frames calls would rasterize everything twice).
+            per_frame = index.traces[fname]
+            frames = sorted(per_frame.keys())
+            areas = {f: int(rasterize_trace(per_frame[f], shape).sum())
+                     for f in frames}
+            ed_a = max(frames, key=lambda f: areas[f])
+            es_a = min(frames, key=lambda f: areas[f])
+            file_order = index.trace_frame_order[fname]
+            es_f, ed_f = file_order[0], file_order[-1]
         except Exception:
             continue
         if (ed_a, es_a) != (ed_f, es_f):

@@ -333,7 +333,13 @@ class WindowImage:
         out = []
         for entry in data[self.image_field]:
             if self.is_sequence:
-                windowed = self.windower(np.squeeze(np.asarray(entry, np.float32)))
+                entry = np.asarray(entry, np.float32)
+                # Squeeze only the leading singleton: np.squeeze() with no
+                # axis would also collapse a T=1 sequence's frame axis and
+                # window image rows as if they were frames.
+                if entry.ndim == 4 and entry.shape[0] == 1:
+                    entry = entry[0]
+                windowed = self.windower(entry)
                 out.append(np.expand_dims(windowed, 0))
             elif self.is_label:
                 out.append(np.asarray(entry).astype(np.int64))

@@ -46,10 +46,13 @@ class ClipForward:
     _compiled: dict = field(default_factory=dict, init=False, repr=False)
 
     def __post_init__(self):
-        if self.fold_bn and "batch_stats" in self.variables:
-            from echoflow.models.fold_bn import fold_variables
+        if self.fold_bn:
+            # Variables without batch_stats are taken as already folded
+            # (same convention as VideoSegmenter).
+            if "batch_stats" in self.variables:
+                from echoflow.models.fold_bn import fold_variables
 
-            self.variables = fold_variables(self.variables)
+                self.variables = fold_variables(self.variables)
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype, folded=True)
         else:
             self._model = R2Plus1DMotionSegNet(dtype=self.dtype)
@@ -100,6 +103,13 @@ class ClipForward:
         the study notebooks derive every plot from (consecutive-clips
         notebook cells 9-10; ed/es-only notebook cells 9-10)."""
         starts = np.asarray(starts, np.int64)
+        if starts.size == 0:
+            # e.g. a systole exactly clip_length long has no covering
+            # window (infer/ef.py start-point helpers return empty).
+            c, _, h, w = video.shape
+            empty = lambda ch: np.zeros((0, ch, clip_length, h, w), np.float32)
+            outs = (empty(2),) if not self.with_motion else (empty(2), empty(4))
+            return (np.zeros((0, clip_length, h, w), np.uint8), *outs)
         clips = np.stack([video[:, s:s + clip_length] for s in starts])
         out = self(clips)
         labels = np.argmax(out[0], axis=1).astype(np.uint8)

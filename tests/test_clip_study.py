@@ -126,3 +126,24 @@ def test_run_clip_study_end_to_end(study, tmp_path):
     else:
         assert set(out["shift_prototype"]) == {0, 1, 2, 3, 4}
         assert "simpson_volume_curve" in out
+
+
+def test_segment_start_points_empty(tiny_clip_forward):
+    video = np.random.RandomState(3).rand(3, 64, 32, 32).astype(np.float32)
+    labels, probs, motion = tiny_clip_forward.segment_start_points(video, [])
+    assert labels.shape == (0, 32, 32, 32)
+    assert probs.shape == (0, 2, 32, 32, 32)
+    assert motion.shape == (0, 4, 32, 32, 32)
+
+
+def test_clip_forward_accepts_prefolded_variables():
+    from echoflow.infer.clips import ClipForward
+    from echoflow.models.fold_bn import fold_variables
+    from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+
+    variables = init_variables(jax.random.PRNGKey(5),
+                               R2Plus1DMotionSegNet(), (1, 3, 32, 32, 32))
+    folded = fold_variables(variables)
+    a = ClipForward(dict(variables))(np.zeros((1, 3, 32, 32, 32), np.float32))
+    b = ClipForward(dict(folded))(np.zeros((1, 3, 32, 32, 32), np.float32))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)

@@ -161,3 +161,26 @@ def test_nan_validation_never_saves_best():
     assert not should_save_best(float("nan"), float("inf"))
     assert not should_save_best(float("inf"), float("inf"))
     assert not should_save_best(2.0, 1.0)
+
+
+@pytest.mark.slow
+def test_train_clasfv_writes_last_checkpoint_and_restores_best_val(tmp_path):
+    import train_clasfv
+    from echoflow.train.checkpoint import load_checkpoint
+
+    out = str(tmp_path / "ckpt.pkl")
+    train_clasfv.main(["--synthetic", "--epochs", "1", "--steps", "2",
+                       "--batch-size", "8", "--image-size", "32",
+                       "--clip-length", "32", "--out", out])
+    # Best and last checkpoints both exist; last carries the epoch.
+    _, extra_best = load_checkpoint(out)
+    _, extra_last = load_checkpoint(out + ".last")
+    assert extra_last["epoch"] == 0
+    # Resume restores the best-val watermark (a worse second run must not
+    # clobber the best checkpoint): run one more epoch resuming.
+    train_clasfv.main(["--synthetic", "--epochs", "2", "--steps", "2",
+                       "--batch-size", "8", "--image-size", "32",
+                       "--clip-length", "32", "--out", out,
+                       "--resume", out])
+    _, extra2 = load_checkpoint(out)
+    assert extra2["val_loss"] <= extra_best["val_loss"] + 1e-9

@@ -225,6 +225,10 @@ def main(argv=None):
 
         state, extra = restore_train_state(args.resume)
         start_epoch = int(extra.get("epoch", -1)) + 1
+        # Restore the best-val watermark too — otherwise the first finite
+        # post-resume validation would clobber a strictly better best
+        # checkpoint at --out.
+        resumed_best_val = float(extra.get("val_loss", float("inf")))
         print(f"resumed from {args.resume} at step {int(state.step)}, "
               f"starting epoch {start_epoch}")
     mesh = data_mesh()
@@ -270,9 +274,12 @@ def main(argv=None):
             rng = np.random.RandomState(args.seed + epoch)
             pool = subset if subset is not None else None
             if pool is None:
-                probe = EchoNetDynamicDataset(args.data, split=split,
-                                              clip_length=args.clip_length)
-                pool = list(range(len(probe)))
+                # A bare index gives the split size with zero video decodes
+                # (a throwaway dataset would run get_mean_and_std over
+                # dozens of videos every epoch).
+                from echoflow.data.echonet import EchoNetIndex
+
+                pool = list(range(len(EchoNetIndex(args.data).split(split))))
             k = min(args.epoch_subsample, len(pool))
             subset = [pool[j] for j in rng.choice(len(pool), k, replace=False)]
         cls = EchoNetEDESOnlyDataset if ed_es_only else EchoNetDynamicDataset
@@ -281,7 +288,7 @@ def main(argv=None):
         batcher = echonet_ed_es_batches if ed_es_only else echonet_batches
         return batcher(ds, args.batch_size, args.steps)
 
-    best_val = float("inf")
+    best_val = resumed_best_val if args.resume else float("inf")
     for epoch in range(start_epoch, args.epochs):
         tic = time.time()
         state, history = fit_on_mesh(
@@ -306,6 +313,12 @@ def main(argv=None):
                             extra={"epoch": epoch, "val_loss": val,
                                    "seed": args.seed})
             print(f"saved checkpoint -> {args.out}")
+        # Always persist the latest state separately: with an empty or
+        # permanently-NaN validation stream the best checkpoint never
+        # fires, and a finished run must not lose its weights.
+        save_checkpoint(args.out + ".last", state,
+                        extra={"epoch": epoch, "val_loss": val,
+                               "seed": args.seed})
     return state
 
 
