@@ -52,6 +52,34 @@ def _run_stream(segmenter, videos, n_total):
     return total_frames / (time.time() - t0)
 
 
+def _machine_matmul_tfs(chain: int = 16):
+    """Measured fp32 matmul rate right now (TF/s), amortized over `chain`
+    chained 4096^3 matmuls in ONE dispatch — the tunnel adds ~27 ms of
+    round-trip latency per materialization, which would otherwise swamp
+    the measurement (a single timed matmul reads as ~5 TF/s on a chip
+    actually delivering ~70). Reported so a low bench pass is
+    distinguishable from a slow framework."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.full((4096, 4096), 1.0 / 4096.0, jnp.float32)
+
+    @jax.jit
+    def mm(a):
+        y = a
+        for _ in range(chain):
+            y = y @ a
+        return jnp.sum(y)
+
+    float(mm(a))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(mm(a))
+        best = min(best, time.perf_counter() - t0)
+    return round(chain * 2 * 4096 ** 3 / best / 1e12, 1)
+
+
 def main():
     import jax
 
@@ -102,6 +130,7 @@ def main():
         "all_passes": passes,
         "mixed_len_fps": mixed_fps,
         "mixed_lengths": list(MIXED_LENGTHS),
+        "machine_matmul_tfs": _machine_matmul_tfs(),
     }))
 
 
