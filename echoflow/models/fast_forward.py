@@ -78,13 +78,27 @@ def folded_forward(variables, video, *, dtype=jnp.float32, pallas=True,
 
 
 def _xla_decoder(projs, b1, w2, b2, ws, bs, wm, bm, out_hw, dtype):
-    """The flax model's decoder, verbatim math (parity-pinned)."""
+    """The flax model's decoder, verbatim math (parity-pinned): T/H resize
+    per group at native width, then ONE W-contraction over the
+    concatenated groups (see models/r2plus1d.py for the block-matrix
+    identity and the bandwidth rationale)."""
+    from echoflow.ops.resize import linear_resize_matrix, resize_linear
+
     h, w = out_hw
     t = projs[0].shape[1]
-    acc = None
+    ints, mats = [], []
     for pr in projs:
-        pr = trilinear_resize(pr, (t, h, w), align_corners=True, axes=(1, 2, 3))
-        acc = pr if acc is None else acc + pr
+        pr = resize_linear(pr, 1, t, align_corners=True)
+        pr = resize_linear(pr, 2, h, align_corners=True)
+        ints.append(pr)
+        mats.append(linear_resize_matrix(pr.shape[3], w, True))
+    if len(ints) == 1:
+        acc = resize_linear(ints[0], 3, w, align_corners=True)
+    else:
+        cat = jnp.concatenate(ints, axis=3)
+        wcat = jnp.concatenate(mats, axis=1)
+        acc = jnp.einsum("nthsc,ws->nthwc", cat, wcat.astype(dtype),
+                         precision="highest")
     y = acc + b1.astype(dtype)
     y = jnp.maximum(y, 0.0)
     y = jnp.einsum("...c,cd->...d", y, w2.astype(dtype)) + b2.astype(dtype)

@@ -208,10 +208,29 @@ class R2Plus1DMotionSegNet(nn.Module):
             shape = tap.shape[1:4]
             projs[shape] = proj if shape not in projs else projs[shape] + proj
             offset += ch
-        acc = None
+        # T- and H-resize each group at its NATIVE width, then concatenate
+        # every group along the W axis and contract once with the stacked
+        # W-resize matrices: sum_r A_r @ W_r^T == [A_1..A_n] @ [W_1..W_n]^T
+        # (block-matrix identity, exact up to fp reordering). This removes
+        # n-1 full-resolution materializations + the accumulation passes —
+        # the decoder was HBM-bound on exactly that traffic — and the
+        # single contraction dim (sum of native widths, 105 here) tiles
+        # the 128-wide MXU far better than four 56/28/14/7-wide matmuls.
+        from echoflow.ops.resize import linear_resize_matrix, resize_linear
+
+        ints, mats = [], []
         for proj in projs.values():
-            proj = trilinear_resize(proj, (t, h, w), align_corners=True, axes=(1, 2, 3))
-            acc = proj if acc is None else acc + proj
+            proj = resize_linear(proj, 1, t, align_corners=True)
+            proj = resize_linear(proj, 2, h, align_corners=True)
+            ints.append(proj)
+            mats.append(linear_resize_matrix(proj.shape[3], w, True))
+        if len(ints) == 1:
+            acc = resize_linear(ints[0], 3, w, align_corners=True)
+        else:
+            cat = jnp.concatenate(ints, axis=3)
+            wcat = jnp.concatenate(mats, axis=1)
+            acc = jnp.einsum("nthsc,ws->nthwc", cat, wcat.astype(self.dtype),
+                             precision="highest")
         y = acc + comb1_bias.astype(self.dtype)
 
         if not self.folded:
