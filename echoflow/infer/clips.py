@@ -64,11 +64,22 @@ class ClipForward:
             return self._compiled[key]
         model = self._model
         with_motion = self.with_motion
+        folded = self.fold_bn
 
         @jax.jit
         def run(variables, clips):
             def fwd(xs):
-                seg, motion = model.apply(variables, xs, train=False)
+                if folded:
+                    # Same einsum fast path as the fusion engine (dead
+                    # heads eliminated, single W-contraction decoder);
+                    # bit-identical to model.apply on folded variables.
+                    from echoflow.models.fast_forward import folded_forward
+
+                    seg, motion = folded_forward(
+                        variables, xs, dtype=self.dtype, pallas=False,
+                        with_motion=with_motion)
+                else:
+                    seg, motion = model.apply(variables, xs, train=False)
                 probs = jax.nn.softmax(seg, axis=1)
                 return (probs, motion) if with_motion else (probs,)
 
