@@ -89,15 +89,15 @@ def _xla_decoder(projs, b1, w2, b2, ws, bs, wm, bm, out_hw, dtype):
     ints, mats = [], []
     for pr in projs:
         pr = resize_linear(pr, 1, t, align_corners=True)
-        pr = resize_linear(pr, 2, h, align_corners=True)
+        pr = resize_linear(pr, 3, w, align_corners=True)
         ints.append(pr)
-        mats.append(linear_resize_matrix(pr.shape[3], w, True))
+        mats.append(linear_resize_matrix(pr.shape[2], h, True))
     if len(ints) == 1:
-        acc = resize_linear(ints[0], 3, w, align_corners=True)
+        acc = resize_linear(ints[0], 2, h, align_corners=True)
     else:
-        cat = jnp.concatenate(ints, axis=3)
-        wcat = jnp.concatenate(mats, axis=1)
-        acc = jnp.einsum("nthsc,ws->nthwc", cat, wcat.astype(dtype),
+        cat = jnp.concatenate(ints, axis=2)
+        hcat = jnp.concatenate(mats, axis=1)
+        acc = jnp.einsum("ntswc,hs->nthwc", cat, hcat.astype(dtype),
                          precision="highest")
     y = acc + b1.astype(dtype)
     y = jnp.maximum(y, 0.0)
