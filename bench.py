@@ -7,15 +7,22 @@ JSON line:
 
     {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
 
-`value` is the best of PASSES timed passes over the video stream: the host
-has a single CPU core and the TPU is tunneled, so any concurrent host load
-or tunnel hiccup halves a pass's throughput — the best pass is the
-steady-state number (passes are reported in "all_passes" for scrutiny).
+`value` is the MEDIAN of PASSES timed passes over the video stream, after a
+full untimed warm pass (compiles, operand caches, thread pools all hot) —
+the driver-reproducible number the README quotes. Per-pass numbers are in
+"all_passes" for scrutiny; the host has a single CPU core and the TPU is
+tunneled, so a concurrent host burst or tunnel hiccup can still depress a
+pass, which the median (not max) absorbs honestly.
 
-A second, mixed-length phase streams videos spanning several length buckets
-(112..304 frames) so the bucketed-compile + per-length operand-cache design
-is exercised rather than a single perfectly cached shape; its throughput is
-reported as "mixed_len_fps".
+Also certified here (round-2 verdict items 3-4):
+  - "train_step_ms": latency-amortized full CLAS-FV train step (batch 4,
+    32x112x112 — fwd + OTA/SGS/OTS losses + backward + Adam), the README
+    train-step claim.
+  - "forward_ms_per_clip": latency-amortized folded model forward, 30-clip
+    chunks, the README per-clip claim.
+  - "mixed_len_fps": a stream spanning several length buckets (112..304
+    frames) so bucketed compiles + the per-length operand cache are
+    exercised rather than one perfectly cached shape.
 
 Baseline: the reference segments the 1,276-video EchoNet test split in
 68m46s with this config (label_fusion_compute_EF notebook cell 8) — at the
@@ -32,23 +39,34 @@ import numpy as np
 REFERENCE_FRAMES_PER_SEC = 54.1
 VIDEO_FRAMES = 176
 NUM_VIDEOS = 32
-PASSES = 3
+PASSES = 5
 MIXED_LENGTHS = (112, 144, 176, 208, 256, 304)
 NUM_CLIPS = 5
 STEP = 1
 FUSE = "simple"
+QUEUE_DEPTH = 6
 
 
 def _run_stream(segmenter, videos, n_total):
+    """One timed pass. EF extraction (host numpy) runs on a worker thread so
+    it overlaps the dispatch/fetch pipeline instead of stalling it between
+    videos (round-2 verdict: EF ran on the consumer thread)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from echoflow.infer.ef import compute_ef_using_putative_clips
 
     t0 = time.time()
     total_frames = 0
+    futures = []
     stream = (videos[i % len(videos)] for i in range(n_total))
-    for seg in segmenter.segment_videos(stream, num_clips=NUM_CLIPS, step=STEP,
-                                        fuse_method=FUSE, queue_depth=4):
-        compute_ef_using_putative_clips(seg)
-        total_frames += seg.shape[0]
+    with ThreadPoolExecutor(max_workers=1) as ef_pool:
+        for seg in segmenter.segment_videos(stream, num_clips=NUM_CLIPS,
+                                            step=STEP, fuse_method=FUSE,
+                                            queue_depth=QUEUE_DEPTH):
+            futures.append(ef_pool.submit(compute_ef_using_putative_clips, seg))
+            total_frames += seg.shape[0]
+        efs = [f.result() for f in futures]
+    assert len(efs) == n_total
     return total_frames / (time.time() - t0)
 
 
@@ -80,21 +98,94 @@ def _machine_matmul_tfs(chain: int = 16):
     return round(chain * 2 * 4096 ** 3 / best / 1e12, 1)
 
 
-def main():
+def _train_step_ms(n_steps: int = 20):
+    """Latency-amortized CLAS-FV train step (batch 4, 32x112x112): dispatch
+    n_steps sequential steps, block once at the end. Certifies the README
+    train-step number (train notebook cell 10 recipe)."""
     import jax
+    import jax.numpy as jnp
+
+    from echoflow.train.loop import TrainConfig, create_train_state, make_train_step
+
+    cfg = TrainConfig(clip_length=32, image_size=(112, 112), batch_size=4)
+    model, state, tx = create_train_state(
+        jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 32, 112, 112))
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "video": jnp.asarray(rng.rand(4, 3, 32, 112, 112), jnp.float32),
+        "ed_label": jnp.asarray((rng.rand(4, 112, 112) > 0.7).astype(np.int32)),
+        "es_label": jnp.asarray((rng.rand(4, 112, 112) > 0.85).astype(np.int32)),
+        "ed_idx": jnp.asarray(rng.randint(0, 8, size=(4,))),
+        "es_idx": jnp.asarray(rng.randint(24, 31, size=(4,))),
+    }
+    state, metrics = step(state, batch)  # compile
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    return round((time.perf_counter() - t0) / n_steps * 1000, 1)
+
+
+def _forward_ms_per_clip(variables, chunk: int = 30, n_iters: int = 8):
+    """Latency-amortized folded forward, `chunk` 32-frame clips per call."""
+    import jax
+    import jax.numpy as jnp
+
+    from echoflow.models.fast_forward import folded_forward
+    from echoflow.models.fold_bn import fold_variables
+
+    folded = fold_variables(variables)
+
+    @jax.jit
+    def fwd(v, xs):
+        seg, _ = folded_forward(v, xs, pallas=False, with_motion=False)
+        return jax.nn.softmax(seg, axis=1)
+
+    xs = jnp.asarray(np.random.RandomState(0).rand(chunk, 3, 32, 112, 112),
+                     jnp.float32)
+    jax.block_until_ready(fwd(folded, xs))  # compile
+    t0 = time.perf_counter()
+    outs = [fwd(folded, xs) for _ in range(n_iters)]
+    jax.block_until_ready(outs[-1])
+    return round((time.perf_counter() - t0) / (n_iters * chunk) * 1000, 2)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="measure only the train step (prints the same JSON "
+                         "with the inference fields nulled)")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the train-step measurement")
+    args = ap.parse_args()
 
     from echoflow.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
 
     from echoflow.data.synthetic import make_beating_video
-    from echoflow.infer.ef import compute_ef_using_putative_clips
     from echoflow.infer.pipeline import VideoSegmenter
     from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
+
+    import jax
 
     rng = jax.random.PRNGKey(0)
     model = R2Plus1DMotionSegNet()
     variables = init_variables(rng, model, (1, 3, 32, 112, 112))
+
+    if args.train:
+        print(json.dumps({
+            "metric": "CLAS-FV train step (batch 4, 32x112x112)",
+            "value": _train_step_ms(),
+            "unit": "ms/step",
+            "vs_baseline": None,
+        }))
+        return
 
     # Raw uint8 videos, as they come off the decoder: normalization happens
     # on device inside the jitted graph.
@@ -111,18 +202,20 @@ def main():
 
     segmenter = VideoSegmenter(variables, forward_chunk=30)
 
-    # Warm-up / compile (headline shape + every mixed-length bucket).
+    # Compile every shape (headline bucket + every mixed-length bucket),
+    # then one full untimed stream pass: pass 1 of the timed run starts with
+    # hot compiles, hot operand caches, and warmed thread pools.
     for v in (videos[0], *mixed):
-        seg = segmenter.segment_video(v, num_clips=NUM_CLIPS, step=STEP,
-                                      fuse_method=FUSE)
-    compute_ef_using_putative_clips(seg)
+        segmenter.segment_video(v, num_clips=NUM_CLIPS, step=STEP,
+                                fuse_method=FUSE)
+    _run_stream(segmenter, videos, NUM_VIDEOS)
 
     passes = [round(_run_stream(segmenter, videos, NUM_VIDEOS), 1)
               for _ in range(PASSES)]
-    fps = max(passes)
+    fps = float(np.median(passes))
     mixed_fps = round(_run_stream(segmenter, mixed, 3 * len(mixed)), 1)
 
-    print(json.dumps({
+    result = {
         "metric": "full-video 5-shift SIMPLE-fusion segmentation + EF throughput",
         "value": fps,
         "unit": "frames/sec",
@@ -130,8 +223,12 @@ def main():
         "all_passes": passes,
         "mixed_len_fps": mixed_fps,
         "mixed_lengths": list(MIXED_LENGTHS),
+        "forward_ms_per_clip": _forward_ms_per_clip(variables),
         "machine_matmul_tfs": _machine_matmul_tfs(),
-    }))
+    }
+    if not args.no_train:
+        result["train_step_ms"] = _train_step_ms()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

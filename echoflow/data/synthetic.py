@@ -66,11 +66,12 @@ def make_beating_video(
 
 
 def write_synthetic_avi(path: str, num_frames: int = 96, height: int = 112,
-                        width: int = 112, seed: int = 0) -> SyntheticBeat:
+                        width: int = 112, seed: int = 0,
+                        period: float = 40.0) -> SyntheticBeat:
     """Write a synthetic echo video as an AVI (for CLI-path verification)."""
     import cv2
 
-    beat = make_beating_video(num_frames, height, width, seed=seed)
+    beat = make_beating_video(num_frames, height, width, period=period, seed=seed)
     writer = cv2.VideoWriter(
         path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (width, height))
     if not writer.isOpened():

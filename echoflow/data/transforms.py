@@ -319,7 +319,13 @@ class WindowImage:
     """Dict wrapper over random_video_windower (reference
     transform_utils.py:228-267). Sequence entries (1, T, H, W) are squeezed,
     windowed with T as the channel axis, and re-expanded — the reference's
-    exact (quirky) behavior: each frame gets its own min/max window."""
+    exact (quirky) behavior: each frame gets its own min/max window.
+
+    Deliberate divergence: the reference's non-sequence `is_label` path
+    windows the entry *before* the integer cast (transform_utils.py:257-262,
+    despite its own "should not window the label" comment), corrupting label
+    values whenever the random window is not the identity. Here labels pass
+    through untouched — the behavior the reference's comment intended."""
 
     def __init__(self, scale=(1.0, 1.0), image_field="image_sequence",
                  is_sequence=True, is_label=False, rng=None):

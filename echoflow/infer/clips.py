@@ -95,6 +95,11 @@ class ClipForward:
         (seg_probs,) when constructed with `with_motion=False`."""
         clips = np.asarray(clips, np.float32)
         n, _, t, h, w = clips.shape
+        if n == 0:
+            outs = (np.zeros((0, 2, t, h, w), np.float32),)
+            if self.with_motion:
+                outs += (np.zeros((0, 4, t, h, w), np.float32),)
+            return outs
         chunk = min(self.forward_chunk, n)
         n_chunks = -(-n // chunk)
         pad = n_chunks * chunk - n

@@ -35,9 +35,10 @@ def start_points_covering_frame(mid_index: int, video_length: int,
     study notebook's single-frame `get_all_possible_start_points`
     (echonet_dynamic_test_dataset_ed_or_es_only_clips.ipynb cell 3).
 
-    Reference quirks preserved: the upper end is clamped to
-    `video_length - clip_length - 1` (one short of the last valid start)
-    whenever the unclamped window would run past the video."""
+    Reference quirks preserved: whenever the unclamped window would run past
+    the video, the upper end is clamped to `video_length - clip_length - 1`,
+    which the exclusive arange turns into a maximum returned start of
+    `video_length - clip_length - 2` — two short of the last valid start."""
     lo = max(0, mid_index - clip_length + 1)
     hi = mid_index + 1
     if hi + clip_length >= video_length:

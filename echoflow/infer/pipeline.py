@@ -179,6 +179,7 @@ class VideoSegmenter:
 
     variables: dict
     dtype: object = jnp.float32
+    backbone_dtype: object = None  # None = same as dtype; bf16 = mixed policy
     forward_chunk: int = 8
     bucket: int = 64
     fold_bn: bool = True
@@ -187,6 +188,9 @@ class VideoSegmenter:
     operand_cache_size: int = 64  # LRU cap on per-length device operands
 
     def __post_init__(self):
+        if self.decoder not in ("xla", "pallas", "model"):
+            raise ValueError(
+                f"decoder must be 'xla', 'pallas', or 'model'; got {self.decoder!r}")
         if self.fold_bn:
             # Inference-only engine: absorb every BatchNorm into its conv
             # (exact; see models/fold_bn.py). Variables without batch_stats
@@ -279,6 +283,7 @@ class VideoSegmenter:
 
                     seg, _ = folded_forward(
                         variables, xs, dtype=self.dtype,
+                        backbone_dtype=self.backbone_dtype,
                         pallas=(decoder == "pallas"), with_motion=False)
                 return jax.nn.softmax(seg, axis=1)
 

@@ -39,17 +39,25 @@ def merged_projections(taps, comb1_kernel, dtype=jnp.float32):
     return list(projs.values())
 
 
-def folded_forward(variables, video, *, dtype=jnp.float32, pallas=True,
-                   with_motion=True, train=False):
+def folded_forward(variables, video, *, dtype=jnp.float32, backbone_dtype=None,
+                   pallas=True, with_motion=True, train=False):
     """video (N, 3, T, H, W) -> (seg (N, 2, T, H, W), motion (N, 4, T, H, W)
-    or None). `variables` must be folded (fold_bn.fold_variables)."""
+    or None). `variables` must be folded (fold_bn.fold_variables).
+
+    `backbone_dtype` (default: same as `dtype`) sets the compute dtype of
+    the conv backbone only — the selective mixed-precision policy runs the
+    backbone (~55% of forward FLOPs, all conv/MXU work) in bf16 while the
+    decoder einsums + heads, where argmax-deciding logit margins are
+    formed, stay fp32. Params stay fp32 either way."""
     assert not train, "folded_forward is inference-only"
     p = variables["params"]
     n, c, t, h, w = video.shape
-    x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(dtype)
+    bdt = dtype if backbone_dtype is None else backbone_dtype
+    x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(bdt)
 
-    taps = R2Plus1DBackbone(dtype, folded=True).apply(
+    taps = R2Plus1DBackbone(bdt, folded=True).apply(
         {"params": p["backbone"]}, x, train=False)
+    taps = [tp.astype(dtype) for tp in taps]
     projs = merged_projections(taps, p["comb1_kernel"], dtype)
     # The kernel upsamples H/W; the (cheap, low-spatial-res) T resize stays
     # in XLA. align_corners=True everywhere (reference decoder convention).

@@ -60,17 +60,28 @@ def simple_fuse(
     raters: jnp.ndarray,
     num_iters: int = 5,
     alpha: float = 1.0,
+    live: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """SIMPLE fusion of a (R, H, W) binary rater stack -> (H, W) uint8.
 
     Each round scores every rater by Dice against the current estimate,
     deactivates raters scoring below mean - alpha * std of the *active* set
     (the best rater is never deactivated), and re-votes.
+
+    `live` is an optional (R,) 0/1 mask of raters that exist at all (the
+    shift-ensemble engine fuses a *variable-size* live set per frame,
+    reference fuse_utils.py:84-98). Dead raters start deactivated and carry
+    zero weight in every statistic, so the result is identical to running
+    on the compacted live-only stack (up to fp summation order) — the
+    stack's dead slots may hold arbitrary data.
     """
     raters = raters.astype(jnp.float32)
     num_raters = raters.shape[0]
-    active0 = jnp.ones((num_raters,), dtype=jnp.float32)
-    est0 = majority_vote(raters)
+    if live is None:
+        active0 = jnp.ones((num_raters,), dtype=jnp.float32)
+    else:
+        active0 = live.astype(jnp.float32)
+    est0 = majority_vote(raters, active0)
 
     def round_fn(_, carry):
         active, est = carry
@@ -95,6 +106,7 @@ def staple_fuse(
     num_iters: int = 30,
     init_pq: float = 0.99999,
     undecided_label: int | None = None,
+    live: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Binary STAPLE-EM fusion of a (R, H, W) rater stack -> (H, W) uint8.
 
@@ -111,10 +123,23 @@ def staple_fuse(
     downstream LV-area pipeline expects. Exact ties are measure-zero for
     real float posteriors but occur on adversarial integer-symmetric inputs
     (see tests/test_fusion.py divergence-budget cases).
+
+    `live`: optional (R,) 0/1 mask of raters that exist (variable-size live
+    sets per frame, reference fuse_utils.py:84-98). Dead raters contribute
+    zero log-likelihood and are excluded from the prior, making the result
+    identical to EM over the compacted live-only stack (up to fp order);
+    their (p, q) trajectories are junk but never read.
     """
     d = raters.astype(jnp.float32)  # (R, H, W)
     num_raters = d.shape[0]
-    prior = jnp.clip(jnp.mean(d), 1e-5, 1.0 - 1e-5)
+    if live is None:
+        lv = jnp.ones((num_raters,), dtype=jnp.float32)
+    else:
+        lv = live.astype(jnp.float32)
+    lv3 = lv[:, None, None]
+    n_live = jnp.maximum(jnp.sum(lv), 1.0)
+    per_pixel = d.shape[1] * d.shape[2]
+    prior = jnp.clip(jnp.sum(lv3 * d) / (n_live * per_pixel), 1e-5, 1.0 - 1e-5)
 
     p0 = jnp.full((num_raters,), init_pq, dtype=jnp.float32)
     q0 = jnp.full((num_raters,), init_pq, dtype=jnp.float32)
@@ -126,16 +151,20 @@ def staple_fuse(
         log_a = (
             jnp.log(prior)
             + jnp.sum(
-                d * jnp.log(p[:, None, None] + eps)
-                + (1.0 - d) * jnp.log(1.0 - p[:, None, None] + eps),
+                lv3 * (
+                    d * jnp.log(p[:, None, None] + eps)
+                    + (1.0 - d) * jnp.log(1.0 - p[:, None, None] + eps)
+                ),
                 axis=0,
             )
         )
         log_b = (
             jnp.log(1.0 - prior)
             + jnp.sum(
-                (1.0 - d) * jnp.log(q[:, None, None] + eps)
-                + d * jnp.log(1.0 - q[:, None, None] + eps),
+                lv3 * (
+                    (1.0 - d) * jnp.log(q[:, None, None] + eps)
+                    + d * jnp.log(1.0 - q[:, None, None] + eps)
+                ),
                 axis=0,
             )
         )
@@ -151,13 +180,17 @@ def staple_fuse(
 
     eps = 1e-7
     log_a = jnp.log(prior) + jnp.sum(
-        d * jnp.log(p[:, None, None] + eps)
-        + (1.0 - d) * jnp.log(1.0 - p[:, None, None] + eps),
+        lv3 * (
+            d * jnp.log(p[:, None, None] + eps)
+            + (1.0 - d) * jnp.log(1.0 - p[:, None, None] + eps)
+        ),
         axis=0,
     )
     log_b = jnp.log(1.0 - prior) + jnp.sum(
-        (1.0 - d) * jnp.log(q[:, None, None] + eps)
-        + d * jnp.log(1.0 - q[:, None, None] + eps),
+        lv3 * (
+            (1.0 - d) * jnp.log(q[:, None, None] + eps)
+            + d * jnp.log(1.0 - q[:, None, None] + eps)
+        ),
         axis=0,
     )
     decision = (log_a >= log_b).astype(jnp.uint8)
@@ -190,26 +223,30 @@ def fuse_frames(
     """Fuse every frame of a video at once.
 
     rater_stack: (T, R, H, W) binary labels — rater r's prediction for frame
-    t (already shift-aligned). valid: (T, R) 0/1 liveness mask. Invalid
-    raters are replaced by the first valid rater's mask so they never change
-    a vote (every algorithm here is invariant to duplicated raters only under
-    majority — so instead invalid raters are *dropped* by weighting where the
-    method supports it; for simple/staple the stack is compacted by replacing
-    dead raters with the frame's majority of live ones, which is
-    vote-neutral for simple and bias-free for staple in practice).
+    t (already shift-aligned). valid: (T, R) 0/1 liveness mask. The
+    reference fuses, per frame, exactly the live raters — a *variable-size*
+    list (fuse_utils.py:84-98), copying the sole rater through when only one
+    is live (fuse_utils.py:92-93). Here every fuser is mask-aware (dead
+    raters carry zero weight in every vote/statistic/likelihood, equivalent
+    to compacting the stack to the live set), and frames with <= 1 live
+    rater select the first live rater's mask unfused — so the static-shape
+    vmapped graph reproduces the reference's dynamic-list semantics exactly.
     """
     t, r, h, w = rater_stack.shape
     live = valid.astype(jnp.float32)  # (T, R)
 
     def fuse_one(frames, live_mask):
-        maj = majority_vote(frames, live_mask)
-        filled = jnp.where(live_mask[:, None, None] > 0, frames, maj[None])
         if method == "majority":
-            return maj
-        if method == "simple":
-            return simple_fuse(filled, num_iters=num_iters)
-        if method == "staple":
-            return staple_fuse(filled)
-        raise ValueError(f"unknown fuse method: {method}")
+            fused = majority_vote(frames, live_mask)
+        elif method == "simple":
+            fused = simple_fuse(frames, num_iters=num_iters, live=live_mask)
+        elif method == "staple":
+            fused = staple_fuse(frames, live=live_mask)
+        else:
+            raise ValueError(f"unknown fuse method: {method}")
+        # Reference rule: a single live rater is copied through, not fused.
+        first_live = jnp.argmax(live_mask)
+        single = frames[first_live].astype(jnp.uint8)
+        return jnp.where(jnp.sum(live_mask) <= 1.0, single, fused)
 
     return jax.vmap(fuse_one)(rater_stack, live)

@@ -11,15 +11,37 @@ from __future__ import annotations
 import numpy as np
 
 
+# The reference's LV overlay color and its complement, used for the
+# prediction-vs-truth difference view (visualization_utils.py:341-343,
+# 385-390: complement of [r,g,b] is [max-r, max-g, max-b]).
+LV_COLOR = (0.3, 0.3, 0.0)
+LV_COMP_COLOR = (0.0, 0.0, 0.3)
+
+
 def echonet_overlay(frame: np.ndarray, mask: np.ndarray,
+                    truth: np.ndarray | None = None,
                     color=(0.1, 0.9, 0.3), alpha: float = 0.35) -> np.ndarray:
     """Blend an LV mask over a grayscale/RGB frame. frame (H, W) or (H, W, 3)
-    in [0, 1]; mask (H, W) {0,1}. Returns (H, W, 3) float in [0, 1]."""
+    in [0, 1]; mask (H, W) {0,1}. Returns (H, W, 3) float in [0, 1].
+
+    With `truth` (a clinician (H, W) {0,1} mask), returns the reference's
+    prediction-vs-truth *difference* overlay instead
+    (visualization_utils.py:424-434): false positives (predicted LV where
+    truth disagrees) are tinted the LV color, false negatives its color
+    complement, and agreeing pixels stay plain echo."""
     if frame.ndim == 2:
         rgb = np.stack([frame] * 3, axis=-1)
     else:
         rgb = frame.copy()
     m = mask.astype(bool)
+    if truth is not None:
+        t = np.asarray(truth).squeeze().astype(bool)
+        fp = m & ~t
+        fn = ~m & t
+        for c in range(3):
+            rgb[..., c][fp] += LV_COLOR[c]
+            rgb[..., c][fn] += LV_COMP_COLOR[c]
+        return np.clip(rgb, 0, 1)
     for c in range(3):
         rgb[..., c][m] = (1 - alpha) * rgb[..., c][m] + alpha * color[c]
     # Contour: boundary pixels fully saturated.
@@ -31,11 +53,25 @@ def echonet_overlay(frame: np.ndarray, mask: np.ndarray,
     return np.clip(rgb, 0, 1)
 
 
+def simpson_volume_curve(segmentations: np.ndarray) -> np.ndarray:
+    """Per-frame monoplane Simpson LV volume — the quantity the reference's
+    annotated GIF strip plots live (visualization_utils.py:490-496: the
+    same mask is passed as both views). (L, H, W) -> (L,) float (ml at
+    1.0 mm/px)."""
+    from echoflow.metrics.simpson import computeSimpsonVolume
+
+    return np.asarray([
+        computeSimpsonVolume(seg, seg, (1.0, 1.0), (1.0, 1.0))
+        for seg in np.asarray(segmentations)
+    ])
+
+
 def make_annotated_gif(segmentations: np.ndarray, video: np.ndarray,
                        filename: str, fps: int = 20):
-    """Write an annotated GIF: overlay on the left, LV-area curve with a
-    moving cursor on the right. segmentations (L, H, W) uint8;
-    video (3, L, H, W) float in [0, 1]."""
+    """Write an annotated GIF: overlay on the left, the live Simpson LV
+    *volume* strip on the right — revealed up to the current frame, exactly
+    the reference's annotation (visualization_utils.py:476-538).
+    segmentations (L, H, W) uint8; video (3, L, H, W) float in [0, 1]."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -43,19 +79,23 @@ def make_annotated_gif(segmentations: np.ndarray, video: np.ndarray,
     from PIL import Image
 
     length = segmentations.shape[0]
-    area = segmentations.reshape(length, -1).sum(axis=1)
+    volume = simpson_volume_curve(segmentations)
 
     frames = []
     fig, (ax_img, ax_curve) = plt.subplots(1, 2, figsize=(7, 3.2), dpi=80)
+    # Reference strip framing: fixed limits with +-100 ml headroom and one
+    # trailing frame of x slack (visualization_utils.py:516-518).
+    ylim = (volume.min() - 100, volume.max() + 100)
     for t in range(length):
         ax_img.clear()
         ax_curve.clear()
         ax_img.imshow(echonet_overlay(video[0, t], segmentations[t]))
         ax_img.set_title(f"frame {t}")
         ax_img.axis("off")
-        ax_curve.plot(area, lw=1)
-        ax_curve.axvline(t, color="r", lw=1)
-        ax_curve.set_title("LV area (px)")
+        ax_curve.plot(np.arange(t + 1), volume[:t + 1], c="limegreen", lw=1.2)
+        ax_curve.set_xlim(0, length + 1)
+        ax_curve.set_ylim(*ylim)
+        ax_curve.set_title("LV Volume (ml)")
         fig.tight_layout()
         fig.canvas.draw()
         buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]

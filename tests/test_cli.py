@@ -1,0 +1,71 @@
+"""Golden-artifact regression net over the user-facing CLI entry point
+(reference motion_segment.py:127-150): run `motion_segment.main` on a
+synthetic AVI with `-c all` and pin the artifact set + pkl mask contents."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import motion_segment
+from echoflow.data.synthetic import write_synthetic_avi
+
+CKPT = os.path.join(os.path.dirname(__file__), "..", "save_models",
+                    "synthetic_clasfv.pkl")
+
+
+@pytest.mark.slow
+def test_cli_all_artifacts_match_engine_golden(tmp_path):
+    if not os.path.exists(CKPT):
+        pytest.skip("synthetic checkpoint not present")
+    # 96 frames / period 24: interior diastole peaks at ~30/54/78 keep full
+    # prominence and survive the reference's >= p85 diastole filter (a
+    # 64-frame video starting mid-beat legitimately yields zero pairs under
+    # the reference algorithm — edge-truncated prominence).
+    avi = str(tmp_path / "echo.avi")
+    write_synthetic_avi(avi, num_frames=96, period=24.0, seed=3)
+    outdir = str(tmp_path / "out")
+
+    segs, efs, pairs = motion_segment.main([
+        "-p", avi, "-m", CKPT, "-f", "2", "-s", "1",
+        "--fuse_method", "simple", "-c", "all", "-o", outdir, "-v",
+    ])
+
+    assert segs.shape == (96, 112, 112) and segs.dtype == np.uint8
+    # The trained checkpoint on a 2.6-beat synthetic video must find beats
+    # with physical EFs (the synthetic e2e benchmark pins accuracy; this
+    # test pins the CLI plumbing around it).
+    assert len(pairs) >= 1
+    for ef in efs:
+        assert 0 < ef < 100
+
+    # All four artifact kinds (reference filenames, motion_segment.py:127-150).
+    files = sorted(os.listdir(outdir))
+    assert "echo_annotated.gif" in files
+    assert "echo_whole_video_segmentation.pkl" in files
+    ed_pkls = [f for f in files if "_ED_Frame_" in f]
+    es_pkls = [f for f in files if "_ES_Frame_" in f]
+    assert len(ed_pkls) == len(set(p[0] for p in pairs))
+    assert len(es_pkls) == len(set(p[1] for p in pairs))
+
+    # Golden: the library engine on the identically preprocessed video must
+    # reproduce the CLI's pkl masks bit-for-bit (same graph, same inputs).
+    from echoflow.infer.pipeline import VideoSegmenter
+    from echoflow.ops.normalize import zeroone_normalizer
+    from echoflow.train.checkpoint import load_model_variables
+
+    raw = motion_segment.read_video_rgb(avi)
+    video = zeroone_normalizer(raw.transpose(3, 0, 1, 2).astype(np.float32))
+    golden = VideoSegmenter(load_model_variables(CKPT)).segment_video(
+        video, num_clips=2, step=1, fuse_method="simple")
+
+    with open(os.path.join(outdir, "echo_whole_video_segmentation.pkl"), "rb") as f:
+        np.testing.assert_array_equal(pickle.load(f), golden)
+    for ed, es in pairs:
+        with open(os.path.join(
+                outdir, f"echo_ED_Frame_{ed}_segmentation.pkl"), "rb") as f:
+            np.testing.assert_array_equal(pickle.load(f), golden[ed])
+        with open(os.path.join(
+                outdir, f"echo_ES_Frame_{es}_segmentation.pkl"), "rb") as f:
+            np.testing.assert_array_equal(pickle.load(f), golden[es])

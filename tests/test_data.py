@@ -99,3 +99,19 @@ def test_training_sample_fixture():
     assert s["video"].shape == (3, 32, 112, 112)
     assert 0 <= s["ed_idx"] < s["es_idx"] <= 31
     assert s["ed_label"].sum() > s["es_label"].sum()
+
+
+def test_pinned_fold_fixtures_load():
+    """The reference's pinned train/val subsets (fold_indexes/, data
+    fixtures copied verbatim: 7,332 train / 1,258 valid indices) load via
+    load_fold_indices — the `--folds fold_indexes` path of train_clasfv."""
+    import os
+
+    from echoflow.data.echonet import load_fold_indices
+
+    root = os.path.join(os.path.dirname(__file__), "..", "fold_indexes")
+    train = load_fold_indices(os.path.join(root, "stanford_train_sampled_indices"))
+    valid = load_fold_indices(os.path.join(root, "stanford_valid_sampled_indices"))
+    assert len(train) == 7332 and len(valid) == 1258
+    assert all(isinstance(i, int) for i in train[:32])
+    assert len(set(train)) == len(train) and len(set(valid)) == len(valid)

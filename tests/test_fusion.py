@@ -157,6 +157,52 @@ def test_simple_outlier_never_resurrects(rng):
     assert fused[0, 0] == 0 and fused[-1, -1] == 0
 
 
+def test_masked_fusers_equal_compacted_live_stack(rng):
+    """The mask-aware simple/staple paths must reproduce fusion of the
+    *compacted* live-only stack — the reference's variable-size live-rater
+    semantics (fuse_utils.py:84-98) expressed as a static-shape graph. Dead
+    slots are filled with garbage to prove they cannot leak in."""
+    truth = _disk(32, 32, 16, 16, 9)
+    for n_live in (2, 3, 4):
+        raters = _noisy_raters(rng, truth, n_live, flip=0.03)
+        garbage = (rng.rand(2, 32, 32) > 0.5).astype(np.uint8)
+        padded = np.concatenate([raters, garbage])
+        live = jnp.asarray([1.0] * n_live + [0.0] * 2)
+        for fuser, kwargs in ((simple_fuse, dict(num_iters=5)),
+                              (staple_fuse, {})):
+            want = np.asarray(fuser(jnp.asarray(raters), **kwargs))
+            got = np.asarray(fuser(jnp.asarray(padded), live=live, **kwargs))
+            # fp-order near-ties only; on these inputs there are none.
+            np.testing.assert_array_equal(got, want)
+
+
+def test_masked_fusers_dead_slot_position_invariance(rng):
+    """Liveness must be positional, not prefix-shaped: dead raters in the
+    middle of the stack behave like dead raters at the end."""
+    truth = _disk(24, 24, 12, 12, 7)
+    raters = _noisy_raters(rng, truth, 3, flip=0.04)
+    garbage = np.ones((1, 24, 24), np.uint8)
+    end_stack = jnp.asarray(np.concatenate([raters, garbage]))
+    mid_stack = jnp.asarray(np.stack([raters[0], garbage[0], raters[1], raters[2]]))
+    live_end = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    live_mid = jnp.asarray([1.0, 0.0, 1.0, 1.0])
+    for fuser in (simple_fuse, staple_fuse):
+        a = np.asarray(fuser(end_stack, live=live_end))
+        b = np.asarray(fuser(mid_stack, live=live_mid))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fuse_frames_single_live_rater_copies_through(rng):
+    """Reference fuse_utils.py:92-93: one live rater -> copy, not fuse."""
+    truth = _disk(16, 16, 8, 8, 5)
+    garbage = (rng.rand(2, 16, 16) > 0.5).astype(np.uint8)
+    stack = jnp.asarray(np.stack([truth, *garbage])[None])  # (1, 3, H, W)
+    valid = jnp.asarray([[1.0, 0.0, 0.0]])
+    for method in ("majority", "simple", "staple"):
+        fused = np.asarray(fuse_frames(stack, valid, method=method))
+        np.testing.assert_array_equal(fused[0], truth)
+
+
 def test_fuse_frames_batched(rng):
     truth = _disk(32, 32, 16, 16, 8)
     frames = []

@@ -31,11 +31,15 @@ def tiny_model():
     return model, variables
 
 
-def slow_reference_pipeline(video, model, variables, num_clips, step):
+def slow_reference_pipeline(video, model, variables, num_clips, step,
+                            fuse_method="majority"):
     """The reference algorithm, literally: Python loops over shifts and
-    clips, batch-1 forwards, softmax-space re-interp, argmax, per-frame
-    majority fusion with the reference's shift-collection rule
-    (fuse_utils.py:36-102)."""
+    clips, batch-1 forwards, softmax-space re-interp, argmax, and per-frame
+    fusion of the *variable-size live-rater list* with the reference's
+    shift-collection rule (fuse_utils.py:36-102) — a single live rater is
+    copied through (fuse_utils.py:92-93), otherwise the live list is fused
+    with the named algorithm on the compacted stack, exactly as the
+    reference hands its live list to `fuse_images`."""
     length = video.shape[1]
     if length < 32 + num_clips * step:
         num_clips = (length - 32) // step
@@ -56,6 +60,8 @@ def slow_reference_pipeline(video, model, variables, num_clips, step):
             flat = np.asarray(resize_linear(jnp.asarray(flat), 1, lk, align_corners=False))
         per_shift.append(np.argmax(flat, axis=0).astype(np.uint8))
 
+    from echoflow.ops.fusion import simple_fuse, staple_fuse
+
     fused = [per_shift[0][0]]
     for i in range(1, length):
         cand = []
@@ -65,21 +71,35 @@ def slow_reference_pipeline(video, model, variables, num_clips, step):
             cand.append(per_shift[k][i - k * step])
         if len(cand) == 1:
             fused.append(cand[0])
-        else:
+        elif fuse_method == "majority":
             votes = np.mean(np.stack(cand), axis=0)
             fused.append((votes > 0.5).astype(np.uint8))
+        elif fuse_method == "simple":
+            fused.append(np.asarray(simple_fuse(jnp.asarray(np.stack(cand)))))
+        elif fuse_method == "staple":
+            fused.append(np.asarray(staple_fuse(jnp.asarray(np.stack(cand)))))
+        else:
+            raise ValueError(fuse_method)
     return np.stack(fused)
 
 
-@pytest.mark.parametrize("length,num_clips,step", [(45, 2, 1), (64, 2, 1), (64, 1, 1)])
-def test_engine_matches_reference_algorithm(tiny_model, length, num_clips, step):
+@pytest.mark.parametrize("length,num_clips,step,fuse_method", [
+    (45, 2, 1, "majority"), (64, 2, 1, "majority"), (64, 1, 1, "majority"),
+    # Live-rater SIMPLE/STAPLE parity (the default parity configs): the
+    # engine's mask-aware fusers vs a literal variable-live-set loop.
+    (45, 2, 1, "simple"), (64, 3, 2, "simple"),
+    (45, 2, 1, "staple"), (64, 3, 2, "staple"),
+])
+def test_engine_matches_reference_algorithm(tiny_model, length, num_clips, step,
+                                            fuse_method):
     model, variables = tiny_model
     beat = make_beating_video(num_frames=length, height=32, width=32, period=20.0, seed=1)
     video = zeroone_normalizer(beat.video.copy())
 
-    want = slow_reference_pipeline(video, model, variables, num_clips, step)
+    want = slow_reference_pipeline(video, model, variables, num_clips, step,
+                                   fuse_method)
     seg = VideoSegmenter(variables, forward_chunk=4, bucket=32)
-    got = seg.segment_video(video, num_clips=num_clips, step=step, fuse_method="majority")
+    got = seg.segment_video(video, num_clips=num_clips, step=step, fuse_method=fuse_method)
     assert got.shape == (length, 32, 32)
     # Allow a <=0.1% pixel budget for argmax near-ties: the engine and the
     # loop-based reference path reduce in different orders, and pixels whose
