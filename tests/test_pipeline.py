@@ -31,21 +31,27 @@ def tiny_model():
     return model, variables
 
 
-def slow_reference_pipeline(video, model, variables, num_clips, step,
-                            fuse_method="majority"):
-    """The reference algorithm, literally: Python loops over shifts and
-    clips, batch-1 forwards, softmax-space re-interp, argmax, and per-frame
-    fusion of the *variable-size live-rater list* with the reference's
-    shift-collection rule (fuse_utils.py:36-102) — a single live rater is
-    copied through (fuse_utils.py:92-93), otherwise the live list is fused
-    with the named algorithm on the compacted stack, exactly as the
-    reference hands its live list to `fuse_images`."""
-    length = video.shape[1]
-    if length < 32 + num_clips * step:
-        num_clips = (length - 32) // step
-    if num_clips < 1:
-        num_clips = 1
+@pytest.fixture(scope="module")
+def tiny_engine(tiny_model):
+    """One shared engine instance so traced graphs are reused across the
+    parametrized parity tests (per-instance construction re-traces)."""
+    _, variables = tiny_model
+    return VideoSegmenter(variables, forward_chunk=4, bucket=32)
 
+
+# The batch-1 reference forwards are the expensive half of the parity tests
+# and are identical across fuse methods — cache them per config so the
+# three-method parametrization reuses one forward sweep.
+_PER_SHIFT_CACHE = {}
+
+
+def _reference_per_shift_labels(video, model, variables, num_clips, step):
+    """Per-shift argmax label stacks of the literal reference algorithm:
+    Python loops over shifts and clips, batch-1 forwards, softmax-space
+    re-interp, argmax (fuse_utils.py:36-80)."""
+    key = (id(variables), video.shape[1], num_clips, step)
+    if key in _PER_SHIFT_CACHE:
+        return _PER_SHIFT_CACHE[key]
     per_shift = []
     for k in range(num_clips):
         shifted = video[:, k * step:]
@@ -59,6 +65,27 @@ def slow_reference_pipeline(video, model, variables, num_clips, step,
         if lk % 32 != 0:
             flat = np.asarray(resize_linear(jnp.asarray(flat), 1, lk, align_corners=False))
         per_shift.append(np.argmax(flat, axis=0).astype(np.uint8))
+    _PER_SHIFT_CACHE[key] = per_shift
+    return per_shift
+
+
+def slow_reference_pipeline(video, model, variables, num_clips, step,
+                            fuse_method="majority"):
+    """The reference algorithm, literally: per-shift label stacks (cached
+    batch-1 forwards) and per-frame fusion of the *variable-size live-rater
+    list* with the reference's shift-collection rule (fuse_utils.py:36-102)
+    — a single live rater is copied through (fuse_utils.py:92-93),
+    otherwise the live list is fused with the named algorithm on the
+    compacted stack, exactly as the reference hands its live list to
+    `fuse_images`."""
+    length = video.shape[1]
+    if length < 32 + num_clips * step:
+        num_clips = (length - 32) // step
+    if num_clips < 1:
+        num_clips = 1
+
+    per_shift = _reference_per_shift_labels(video, model, variables,
+                                            num_clips, step)
 
     from echoflow.ops.fusion import simple_fuse, staple_fuse
 
@@ -90,16 +117,16 @@ def slow_reference_pipeline(video, model, variables, num_clips, step,
     (45, 2, 1, "simple"), (64, 3, 2, "simple"),
     (45, 2, 1, "staple"), (64, 3, 2, "staple"),
 ])
-def test_engine_matches_reference_algorithm(tiny_model, length, num_clips, step,
-                                            fuse_method):
+def test_engine_matches_reference_algorithm(tiny_model, tiny_engine, length,
+                                            num_clips, step, fuse_method):
     model, variables = tiny_model
     beat = make_beating_video(num_frames=length, height=32, width=32, period=20.0, seed=1)
     video = zeroone_normalizer(beat.video.copy())
 
     want = slow_reference_pipeline(video, model, variables, num_clips, step,
                                    fuse_method)
-    seg = VideoSegmenter(variables, forward_chunk=4, bucket=32)
-    got = seg.segment_video(video, num_clips=num_clips, step=step, fuse_method=fuse_method)
+    got = tiny_engine.segment_video(video, num_clips=num_clips, step=step,
+                                    fuse_method=fuse_method)
     assert got.shape == (length, 32, 32)
     # Allow a <=0.1% pixel budget for argmax near-ties: the engine and the
     # loop-based reference path reduce in different orders, and pixels whose
@@ -108,22 +135,32 @@ def test_engine_matches_reference_algorithm(tiny_model, length, num_clips, step,
     assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
 
 
+@pytest.fixture(scope="module")
+def mesh_engine(tiny_model):
+    """One shared mesh-sharded engine so the 8-device forward graphs compile
+    once across the fuse-method parametrization (the forward is identical;
+    only the fusion epilogue differs per method)."""
+    from echoflow.parallel.mesh import data_mesh
+
+    _, variables = tiny_model
+    return VideoSegmenter(variables, forward_chunk=1, bucket=32,
+                          mesh=data_mesh(8))
+
+
 @pytest.mark.parametrize("fuse_method", ["majority", "simple", "softmax"])
-def test_mesh_sharded_engine_matches_single_device(tiny_model, fuse_method):
+def test_mesh_sharded_engine_matches_single_device(tiny_model, tiny_engine,
+                                                   mesh_engine, fuse_method):
     """DP inference over an 8-virtual-device `data` mesh produces the same
     masks as the single-device engine (replaces the reference's
     DataParallel scatter, motion_segment.py:69)."""
-    from echoflow.parallel.mesh import data_mesh
-
     model, variables = tiny_model
     beat = make_beating_video(num_frames=45, height=32, width=32, period=20.0, seed=2)
     video = zeroone_normalizer(beat.video.copy())
 
-    single = VideoSegmenter(variables, forward_chunk=4, bucket=32)
-    sharded = VideoSegmenter(variables, forward_chunk=1, bucket=32,
-                             mesh=data_mesh(8))
-    want = single.segment_video(video, num_clips=2, step=1, fuse_method=fuse_method)
-    got = sharded.segment_video(video, num_clips=2, step=1, fuse_method=fuse_method)
+    want = tiny_engine.segment_video(video, num_clips=2, step=1,
+                                     fuse_method=fuse_method)
+    got = mesh_engine.segment_video(video, num_clips=2, step=1,
+                                    fuse_method=fuse_method)
     assert got.shape == want.shape == (45, 32, 32)
     assert (got != want).mean() <= 1e-3
 

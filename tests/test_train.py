@@ -45,9 +45,19 @@ def tiny_setup():
     return cfg, model, state, tx
 
 
-def test_train_step_reduces_loss(tiny_setup):
+@pytest.fixture(scope="module")
+def jitted_step(tiny_setup):
+    """One shared jitted train step: the model is the full fixed-topology
+    31M-param network (reference parity forbids a width knob), so every
+    fresh `jax.jit(make_train_step(...))` costs a full trace + CPU compile.
+    Share it across the train tests."""
     cfg, model, state, tx = tiny_setup
-    step = jax.jit(make_train_step(model, tx))
+    return jax.jit(make_train_step(model, tx))
+
+
+def test_train_step_reduces_loss(tiny_setup, jitted_step):
+    cfg, model, state, tx = tiny_setup
+    step = jitted_step
     batch = _tiny_batch()
     losses = []
     for _ in range(6):
@@ -74,8 +84,22 @@ def test_lr_schedule_drop():
     np.testing.assert_allclose(float(sched(101)), 1e-5, rtol=1e-6)
 
 
-def test_checkpoint_roundtrip(tiny_setup, tmp_path):
-    cfg, model, state, tx = tiny_setup
+def test_checkpoint_roundtrip(tmp_path):
+    """Roundtrip semantics are model-agnostic (save_checkpoint pickles a
+    class-independent dict of numpy pytrees), so a small synthetic state
+    exercises them without pickling 380MB of full-model params."""
+    from echoflow.train.loop import TrainState
+
+    k = jax.random.PRNGKey(7)
+    state = TrainState(
+        step=jnp.asarray(5, jnp.int32),
+        params={"a": {"kernel": jnp.arange(12.0).reshape(3, 4),
+                      "bias": jnp.zeros((4,))}},
+        batch_stats={"a": {"mean": jnp.ones((4,)), "var": jnp.full((4,), 2.0)}},
+        opt_state=({"a": {"kernel": jnp.full((3, 4), 0.5),
+                          "bias": jnp.full((4,), -1.0)}},),
+        rng=k,
+    )
     path = str(tmp_path / "ckpt.pkl")
     save_checkpoint(path, state, extra={"epoch": 3})
     loaded, extra = load_checkpoint(path)
@@ -91,10 +115,10 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_remat_step_matches(tiny_setup):
+def test_remat_step_matches(tiny_setup, jitted_step):
     cfg, model, state, tx = tiny_setup
     batch = _tiny_batch(seed=2)
-    plain = jax.jit(make_train_step(model, tx))
+    plain = jitted_step
     remat = jax.jit(make_train_step(model, tx, remat=True))
     _, m_plain = plain(state, batch)
     _, m_remat = remat(state, batch)
@@ -117,13 +141,20 @@ def test_prefetch_to_device():
         np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
+    """The driver's multichip gate, in-process (full train step + sharded
+    inference on the 8-virtual-device mesh, ~2.4 min of CPU compiles).
+    Slow-marked: the driver runs this exact entry point every round
+    (MULTICHIP_rNN.json) and the fast profile keeps the mesh-sharded
+    engine tests in test_pipeline.py."""
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
 
 
-def test_checkpoint_stores_rng_and_resume_is_reproducible(tiny_setup, tmp_path):
+def test_checkpoint_stores_rng_and_resume_is_reproducible(tiny_setup, jitted_step,
+                                                          tmp_path):
     """SURVEY.md §5: a checkpoint must carry the RNG key so a resumed run
     reproduces the original — 2 straight steps == 1 step, save, restore,
     1 step."""
@@ -131,14 +162,13 @@ def test_checkpoint_stores_rng_and_resume_is_reproducible(tiny_setup, tmp_path):
 
     cfg, model, state0, tx = tiny_setup
     assert state0.rng is not None
-    step = jax.jit(make_train_step(model, tx))
+    step = jitted_step
     batch1, batch2 = _tiny_batch(seed=3), _tiny_batch(seed=4)
 
-    s, _ = step(state0, batch1)
-    s_straight, _ = step(s, batch2)
+    s_mid, _ = step(state0, batch1)
+    s_straight, _ = step(s_mid, batch2)
 
     path = str(tmp_path / "mid.pkl")
-    s_mid, _ = step(state0, batch1)
     save_checkpoint(path, s_mid, extra={"epoch": 0})
     s_restored, extra = restore_train_state(path)
     assert extra["epoch"] == 0
