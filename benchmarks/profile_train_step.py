@@ -1,0 +1,153 @@
+"""Component breakdown of the CLAS-FV train step (where the 346 ms goes).
+
+Times, scan-chained in one dispatch each (the tunnel adds ~27 ms per
+materialization, so every figure is amortized over CHAIN repetitions inside
+a single jit — see bench._machine_matmul_tfs):
+
+  full         - the complete train step (fwd + OTA + SGS/OTS + BCE + bwd + Adam)
+  fwd_bwd      - model forward (train=True) + backward of a surrogate mean
+                 loss on (seg, motion) only — the conv backbone cost
+  loss_grad    - grad of the CLAS-FV loss w.r.t. fixed (seg, motion) inputs,
+                 no model — the warp-chain cost
+  ota_grad     - grad of OTA alone (batched 124-warp)
+  sgsots_grad  - grad of SGS/OTS alone (the 31-step 4-wide masked scans)
+
+Usage: python benchmarks/profile_train_step.py [--chain 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _timed(fn, *args, repeats: int = 3):
+    """Time one host materialization of fn(*args). NOT block_until_ready:
+    on the tunneled backend it sometimes returns before the computation
+    finishes (0.0 ms readings) — np.asarray forces the device->host copy
+    and is the only reliable barrier here (see bench._machine_matmul_tfs)."""
+    def materialize(out):
+        import jax
+        return [np.asarray(x) for x in jax.tree.leaves(out)]
+
+    materialize(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        materialize(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from echoflow.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from echoflow.train.loop import TrainConfig, create_train_state, make_train_step
+    from echoflow.train.losses import (
+        clasfv_total_loss,
+        deformation_motion_loss,
+        motion_seg_loss,
+    )
+
+    n = args.batch
+    chain = args.chain
+    cfg = TrainConfig(clip_length=32, image_size=(112, 112), batch_size=n)
+    model, state, tx = create_train_state(
+        jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 32, 112, 112))
+    step = make_train_step(model, tx)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "video": jnp.asarray(rng.rand(n, 3, 32, 112, 112), jnp.float32),
+        "ed_label": jnp.asarray((rng.rand(n, 112, 112) > 0.7).astype(np.int32)),
+        "es_label": jnp.asarray((rng.rand(n, 112, 112) > 0.85).astype(np.int32)),
+        "ed_idx": jnp.asarray(rng.randint(0, 8, size=(n,))),
+        "es_idx": jnp.asarray(rng.randint(24, 31, size=(n,))),
+    }
+    seg0 = jnp.asarray(rng.randn(n, 2, 32, 112, 112), jnp.float32)
+    mot0 = jnp.asarray(np.tanh(rng.randn(n, 4, 32, 112, 112)) * 0.05, jnp.float32)
+
+    results = {}
+
+    @jax.jit
+    def full(state, batch):
+        def body(carry, _):
+            new_state, metrics = step(carry, batch)
+            return new_state, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=chain)[1]
+
+    results["full_ms"] = _timed(full, state, batch) / chain * 1000
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def fwd_bwd(variables, video):
+        def body(carry, _):
+            # The 1e-30 carry perturbation makes each iteration's input
+            # data-dependent on the previous one so XLA cannot hoist the
+            # (otherwise loop-invariant) grad out of the scan and report
+            # an 8x-amortized fantasy number.
+            vid = video + carry * 1e-30
+
+            def surrogate(v):
+                (seg, motion), _ = model.apply(v, vid, train=True,
+                                               mutable=["batch_stats"])
+                return jnp.mean(seg) + jnp.mean(motion)
+
+            g = jax.grad(surrogate)(variables)
+            probe = g["params"]["seg_head"]["kernel"]
+            return carry + jnp.sum(probe), carry
+        return jax.lax.scan(body, 0.0, None, length=chain)[0]
+
+    results["fwd_bwd_ms"] = _timed(fwd_bwd, variables, batch["video"]) / chain * 1000
+
+    def loss_on(seg, motion):
+        total, _ = clasfv_total_loss(
+            batch["video"], seg, motion, batch["ed_label"], batch["es_label"],
+            batch["ed_idx"], batch["es_idx"])
+        return total
+
+    def chain_grad(fn):
+        @jax.jit
+        def run(seg, motion):
+            def body(carry, _):
+                gs, gm = jax.grad(fn, argnums=(0, 1))(seg + carry, motion)
+                return carry + jnp.mean(gs) + jnp.mean(gm), carry
+            return jax.lax.scan(body, 0.0, None, length=chain)[0]
+        return run
+
+    results["loss_grad_ms"] = _timed(chain_grad(loss_on), seg0, mot0) / chain * 1000
+
+    def ota_on(seg, motion):
+        return deformation_motion_loss(batch["video"], motion) + 0.0 * jnp.mean(seg)
+
+    results["ota_grad_ms"] = _timed(chain_grad(ota_on), seg0, mot0) / chain * 1000
+
+    def sgsots_on(seg, motion):
+        sgs, ots = motion_seg_loss(batch["ed_label"], batch["es_label"],
+                                   batch["ed_idx"], batch["es_idx"], motion, seg)
+        return sgs + ots
+
+    results["sgsots_grad_ms"] = _timed(chain_grad(sgsots_on), seg0, mot0) / chain * 1000
+
+    results = {k: round(v, 1) for k, v in results.items()}
+    results["unexplained_ms"] = round(
+        results["full_ms"] - results["fwd_bwd_ms"] - results["loss_grad_ms"], 1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
