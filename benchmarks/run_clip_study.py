@@ -235,13 +235,17 @@ def _write_plots(out, outdir):
 def main(argv=None):
     args = parse_args(argv)
 
+    import jax.numpy as jnp
+
     from echoflow.infer.clips import ClipForward
     from echoflow.infer.pipeline import VideoSegmenter
 
     variables = _load_variables(args.checkpoint, args.image_size)
     video, masks, ed, es, ed_label, es_label = _load_study_video(args)
     fwd = ClipForward(dict(variables))
-    segmenter = VideoSegmenter(dict(variables))
+    # Accuracy study: pin the fp32 parity policy so recorded Dice/EF
+    # figures are policy-independent (the engine default is "auto").
+    segmenter = VideoSegmenter(dict(variables), dtype=jnp.float32)
 
     run = study_consecutive if args.study == "consecutive" else study_ed_es_only
     out = run(video, masks, ed, es, ed_label, es_label, fwd, segmenter)

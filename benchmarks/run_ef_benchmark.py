@@ -67,6 +67,7 @@ def main(argv=None):
     enable_persistent_cache()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from echoflow.infer.ef import compute_ef_using_putative_clips
@@ -83,7 +84,8 @@ def main(argv=None):
               "(pipeline-mechanics benchmark only)", file=sys.stderr)
         variables = init_variables(jax.random.PRNGKey(0), R2Plus1DMotionSegNet())
 
-    segmenter = VideoSegmenter(variables)
+    # Accuracy benchmark: pin the fp32 parity policy (engine default is "auto").
+    segmenter = VideoSegmenter(variables, dtype=jnp.float32)
 
     # ---------------------------------------------------------------- data
     if args.synthetic:

@@ -165,7 +165,14 @@ class VideoSegmenter:
     Parameters
     ----------
     variables : flax variables for R2Plus1DMotionSegNet
-    dtype : compute dtype for the network (bf16 fast / fp32 parity)
+    dtype : compute dtype policy. The default "auto" resolves to bfloat16 on
+        an accelerator and float32 on CPU: the measured bf16 ED/ES
+        ground-truth Dice delta vs fp32 is 0.0003 — inside the ±0.001
+        accuracy bar (benchmarks/precision_study.json) — for ~20% more
+        stream throughput, and bf16 is the native TPU inference dtype.
+        Pass jnp.float32 explicitly for the bit-exact parity path (identical
+        masks to the flax fp32 forward), jnp.bfloat16 to force the fast
+        path everywhere.
     forward_chunk : clips per forward chunk (bounds peak activation memory);
         with a mesh this is the *per-device* chunk
     bucket : videos are padded to a multiple of this many frames; one
@@ -178,7 +185,7 @@ class VideoSegmenter:
     """
 
     variables: dict
-    dtype: object = jnp.float32
+    dtype: object = "auto"
     backbone_dtype: object = None  # None = same as dtype; bf16 = mixed policy
     forward_chunk: int = 8
     bucket: int = 64
@@ -191,6 +198,10 @@ class VideoSegmenter:
         if self.decoder not in ("xla", "pallas", "model"):
             raise ValueError(
                 f"decoder must be 'xla', 'pallas', or 'model'; got {self.decoder!r}")
+        if self.dtype == "auto":
+            # Same platform convention as ops/warp._resolve_backend.
+            self.dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                          else jnp.bfloat16)
         if self.fold_bn:
             # Inference-only engine: absorb every BatchNorm into its conv
             # (exact; see models/fold_bn.py). Variables without batch_stats
@@ -222,16 +233,21 @@ class VideoSegmenter:
                 jax.tree.map(jnp.asarray, self.variables), rep)
         else:
             self.variables = jax.tree.map(jnp.asarray, self.variables)
+        import threading
         from collections import OrderedDict
 
         self._compiled = {}
         self._operand_cache = OrderedDict()
+        # segment_videos stages/dispatches on a worker thread; direct
+        # segment_video calls may race it on these caches.
+        self._cache_lock = threading.Lock()
 
     # ---------------------------------------------------------------- graph
     def _graph(self, t_pad: int, k_num: int, fuse_method: str):
         key = (t_pad, k_num, fuse_method)
-        if key in self._compiled:
-            return self._compiled[key]
+        with self._cache_lock:
+            if key in self._compiled:
+                return self._compiled[key]
 
         c_max = t_pad // CLIP_LEN
         n_clips = k_num * c_max
@@ -322,7 +338,8 @@ class VideoSegmenter:
             fused = fuse_frames(stack, valid, method=fuse_method)
             return _packbits(fused)
 
-        self._compiled[key] = run
+        with self._cache_lock:
+            self._compiled[key] = run
         return run
 
     # ----------------------------------------------------------------- api
@@ -340,17 +357,20 @@ class VideoSegmenter:
         # a production stream of many distinct lengths would otherwise pin
         # a few MB of HBM per length forever.
         okey = (length, num_clips, step, t_pad)
-        if okey in self._operand_cache:
-            self._operand_cache.move_to_end(okey)
-        else:
+        with self._cache_lock:
+            hit = okey in self._operand_cache
+            if hit:
+                self._operand_cache.move_to_end(okey)
+                k_num, dev_ops = self._operand_cache[okey]
+        if not hit:
             ops = _build_host_operands(length, num_clips, step, t_pad)
-            self._operand_cache[okey] = (
-                ops["k_num"],
-                tuple(jnp.asarray(ops[k]) for k in ("fwd", "bwd", "gather_idx", "valid")),
-            )
-            while len(self._operand_cache) > self.operand_cache_size:
-                self._operand_cache.popitem(last=False)
-        k_num, dev_ops = self._operand_cache[okey]
+            k_num = ops["k_num"]
+            dev_ops = tuple(
+                jnp.asarray(ops[k]) for k in ("fwd", "bwd", "gather_idx", "valid"))
+            with self._cache_lock:
+                self._operand_cache[okey] = (k_num, dev_ops)
+                while len(self._operand_cache) > self.operand_cache_size:
+                    self._operand_cache.popitem(last=False)
 
         video = np.asarray(video)
         dtype = np.uint8 if video.dtype == np.uint8 else np.float32
@@ -378,19 +398,27 @@ class VideoSegmenter:
         up to `queue_depth` videos are in flight, and results are fetched on
         background threads so device->host round-trip latency overlaps both
         the dispatches and the caller's per-video work. Yields (L, H, W)
-        uint8 masks in order."""
+        uint8 masks in order.
+
+        Staging + dispatch run on a dedicated single worker thread (FIFO, so
+        dispatch order is preserved): the host->device video transfer blocks
+        its calling thread for ~6 ms/video through the tunnel, and on this
+        one-core host the caller's per-video work (e.g. EF extraction)
+        would otherwise serialize with it and starve the device."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        def fetch(item):
-            fused, (length, width) = item
+        def fetch(handle_future):
+            fused, (length, width) = handle_future.result()
             return _unpackbits(np.asarray(jax.device_get(fused)), width)[:length]
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with ThreadPoolExecutor(max_workers=1) as dispatch_pool, \
+                ThreadPoolExecutor(max_workers=2) as fetch_pool:
             inflight: deque = deque()
             for video in videos:
-                handle = self.segment_video_async(video, num_clips, step, fuse_method)
-                inflight.append(pool.submit(fetch, handle))
+                handle = dispatch_pool.submit(
+                    self.segment_video_async, video, num_clips, step, fuse_method)
+                inflight.append(fetch_pool.submit(fetch, handle))
                 if len(inflight) >= queue_depth:
                     yield inflight.popleft().result()
             while inflight:

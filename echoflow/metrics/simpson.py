@@ -97,12 +97,25 @@ def get2dPucks(abin: np.ndarray, apix, npucks: int = 10):
     hi = proj.max(axis=0)
     length = (hi - lo)[0]
 
+    # Slab assignment + per-slab medians, vectorized. Identical to the
+    # reference's per-slab loop `(x >= edges[i]) & (x < edges[i+1])`:
+    # searchsorted(edges, x, side='right') - 1 lands exactly-on-edge points
+    # in the same slab the loop's comparisons do, points at the top edge
+    # fall in no slab (the reference loop excludes x == edges[-1]), and the
+    # median of a lexsorted group is its middle element (odd count) or the
+    # mean of the middle two (even) — np.median's exact arithmetic.
     edges = np.linspace(lo[0], hi[0], npucks + 1)
-    radii = []
-    for i in range(npucks):
-        in_slab = (proj[:, 0] >= edges[i]) & (proj[:, 0] < edges[i + 1])
-        vals = np.abs(proj[:, 1][in_slab])
-        radii.append(0.0 if vals.size == 0 else float(np.median(vals)))
+    slab = np.searchsorted(edges, proj[:, 0], side="right") - 1
+    sec = np.abs(proj[:, 1])
+    order = np.lexsort((sec, slab))
+    slab_s = slab[order]
+    sec_s = sec[order]
+    bounds = np.searchsorted(slab_s, np.arange(npucks + 1))
+    counts = np.diff(bounds)
+    last = len(sec_s) - 1
+    mid_lo = np.minimum(bounds[:-1] + (counts - 1) // 2, last)
+    mid_hi = np.minimum(bounds[:-1] + counts // 2, last)
+    radii = np.where(counts > 0, (sec_s[mid_lo] + sec_s[mid_hi]) / 2.0, 0.0)
 
     return float(length), np.asarray(radii)
 

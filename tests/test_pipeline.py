@@ -165,6 +165,18 @@ def test_mesh_sharded_engine_matches_single_device(tiny_model, tiny_engine,
     assert (got != want).mean() <= 1e-3
 
 
+def test_auto_precision_resolves_fp32_on_cpu(tiny_model):
+    """The default "auto" dtype policy is platform-resolved: fp32 on CPU
+    (this suite), bf16 on an accelerator (measured in
+    benchmarks/precision_study.json, delta inside the ±0.001 bar)."""
+    _, variables = tiny_model
+    seg = VideoSegmenter(variables, forward_chunk=2, bucket=32)
+    assert seg.dtype == jnp.float32  # CPU backend under conftest
+    explicit = VideoSegmenter(variables, forward_chunk=2, bucket=32,
+                              dtype=jnp.bfloat16)
+    assert explicit.dtype == jnp.bfloat16
+
+
 def test_shift_plan_clamps_like_reference():
     # L=40, 5 shifts of step 4 -> reference clamps to (40-32)//4 = 2
     assert len(_shift_plan(40, 5, 4)) == 2
