@@ -108,8 +108,9 @@ def _train_step_ms(n_steps: int = 8):
     timed as a single materialization — the scan isolates device step time
     from the tunnel's per-dispatch round trip the same way
     `_machine_matmul_tfs` does for matmuls. Measured ~345 ms/step even
-    scan-chained: the ~124 sequential chained warps in the SGS/OTS loss
-    scans dominate, and an earlier 77 ms claim came from a harness whose
+    scan-chained; ablation (benchmarks/profile_train_step.py) splits it
+    ~155 ms model fwd+bwd + ~99 ms SGS/OTS warp-scan grads + ~90 ms OTA
+    in-graph. An earlier 77 ms claim came from a harness whose
     `block_until_ready` returned early. Certifies the README train-step
     number (train notebook cell 10 recipe)."""
     import jax

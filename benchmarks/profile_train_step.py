@@ -12,6 +12,13 @@ a single jit — see bench._machine_matmul_tfs):
   ota_grad     - grad of OTA alone (batched 124-warp)
   sgsots_grad  - grad of SGS/OTS alone (the 31-step 4-wide masked scans)
 
+Measured breakdown (v5e, batch 4, after fixing the fwd_bwd DCE bug below):
+full 345 ms ≈ model fwd+bwd ~155 + SGS/OTS grads ~99 + OTA-in-graph ~90.
+Batch 8 → 526 ms: the loss grads scale ~linearly (compute-bound); the model
+path carries the largest fixed chunk. Adam vs plain SGD is <1 ms (ablated);
+in-graph component deltas were cross-checked by monkeypatch ablation
+(zeroing SGS/OTS: -99 ms; also zeroing OTA: -90 ms).
+
 Usage: python benchmarks/profile_train_step.py [--chain 8]
 """
 
@@ -108,8 +115,11 @@ def main():
                 return jnp.mean(seg) + jnp.mean(motion)
 
             g = jax.grad(surrogate)(variables)
-            probe = g["params"]["seg_head"]["kernel"]
-            return carry + jnp.sum(probe), carry
+            # Consume EVERY gradient leaf: probing a single leaf lets XLA
+            # dead-code-eliminate the rest of the backward pass and report
+            # a ~5x fantasy (30 ms for a real ~155 ms fwd+bwd, measured).
+            probe = sum(jnp.mean(x) for x in jax.tree.leaves(g["params"]))
+            return carry + probe, carry
         return jax.lax.scan(body, 0.0, None, length=chain)[0]
 
     results["fwd_bwd_ms"] = _timed(fwd_bwd, variables, batch["video"]) / chain * 1000
