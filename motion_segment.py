@@ -57,6 +57,21 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def precision_policy(name: str) -> dict:
+    """Map a `--precision` flag value to VideoSegmenter dtype kwargs.
+    auto: engine default ("auto" -> bf16 on an accelerator, fp32 on CPU);
+    fp32: bit-exact parity path; mixed: bf16 backbone, fp32 decoder/heads;
+    bf16: bf16 everywhere. (Lazy jnp import keeps module import light.)"""
+    import jax.numpy as jnp
+
+    return {
+        "auto": {},
+        "fp32": {"dtype": jnp.float32},
+        "mixed": {"dtype": jnp.float32, "backbone_dtype": jnp.bfloat16},
+        "bf16": {"dtype": jnp.bfloat16},
+    }[name]
+
+
 def read_video_rgb(path: str):
     """Decode an AVI to (F, H, W, 3) uint8 RGB (host-side, cv2 — the
     reference keeps decode on host too, motion_segment.py:80-94)."""
@@ -122,13 +137,7 @@ def main(argv=None):
             (video.shape[1], args.height, args.width), align_corners=True))[0]
     video = zeroone_normalizer(video)
 
-    precision_kw = {
-        "auto": {},
-        "fp32": {"dtype": jnp.float32},
-        "mixed": {"dtype": jnp.float32, "backbone_dtype": jnp.bfloat16},
-        "bf16": {"dtype": jnp.bfloat16},
-    }[args.precision]
-    segmenter = VideoSegmenter(variables, **precision_kw)
+    segmenter = VideoSegmenter(variables, **precision_policy(args.precision))
     segmentations = segmenter.segment_video(
         video, num_clips=args.fuse, step=args.step, fuse_method=args.fuse_method)
 

@@ -69,3 +69,26 @@ def test_cli_all_artifacts_match_engine_golden(tmp_path):
         with open(os.path.join(
                 outdir, f"echo_ES_Frame_{es}_segmentation.pkl"), "rb") as f:
             np.testing.assert_array_equal(pickle.load(f), golden[es])
+
+
+def test_cli_precision_flag_maps_to_engine_policy():
+    """`--precision` maps onto the engine's dtype policy exactly: auto is
+    the engine default ("auto" -> platform-resolved), fp32 pins the parity
+    path, mixed sets the bf16-backbone/fp32-head split, bf16 forces bf16."""
+    import jax.numpy as jnp
+
+    from echoflow.infer.pipeline import VideoSegmenter
+
+    args = motion_segment.parse_args(["-p", "v.avi"])
+    assert args.precision == "auto"
+    for flag in ("auto", "fp32", "mixed", "bf16"):
+        assert motion_segment.parse_args(
+            ["-p", "v.avi", "--precision", flag]).precision == flag
+
+    assert motion_segment.precision_policy("auto") == {}
+    assert motion_segment.precision_policy("fp32") == {"dtype": jnp.float32}
+    assert motion_segment.precision_policy("mixed") == {
+        "dtype": jnp.float32, "backbone_dtype": jnp.bfloat16}
+    assert motion_segment.precision_policy("bf16") == {"dtype": jnp.bfloat16}
+    # "auto" is the engine's own default policy.
+    assert VideoSegmenter.__dataclass_fields__["dtype"].default == "auto"
