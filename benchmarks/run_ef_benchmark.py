@@ -162,6 +162,10 @@ def main(argv=None):
         "ed_lv_dice": dice_stats(ed_dices),
         "es_lv_dice": dice_stats(es_dices),
         "wall_clock_sec": round(elapsed, 1),
+        # Accuracy benchmark, NOT a throughput benchmark: the serial loop
+        # includes host-side data generation/decoding, Dice, and fp32-pinned
+        # (non-default) precision. The throughput figure of record is
+        # bench.py's streamed engine number.
         "frames_per_sec": round(total_frames / elapsed, 1),
     }
     print(json.dumps(results, indent=2))
