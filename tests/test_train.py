@@ -214,3 +214,25 @@ def test_train_clasfv_writes_last_checkpoint_and_restores_best_val(tmp_path):
                        "--resume", out])
     _, extra2 = load_checkpoint(out)
     assert extra2["val_loss"] <= extra_best["val_loss"] + 1e-9
+
+
+@pytest.mark.slow
+def test_bf16_compute_dtype_step_runs_and_is_finite():
+    """Opt-in bf16 training (TrainConfig.compute_dtype / train_clasfv
+    --compute-dtype bf16): params/optimizer stay fp32, the model computes in
+    bf16, and a step produces finite loss and fp32 parameter updates.
+    Default stays fp32 (reference-parity training dynamics; see the
+    measured tradeoff note in train/loop.py)."""
+    import jax.numpy as jnp
+
+    cfg = TrainConfig(lr=1e-3, clip_length=8, image_size=(32, 32),
+                      batch_size=2, compute_dtype=jnp.bfloat16)
+    model, state, tx = create_train_state(
+        jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 8, 32, 32))
+    assert model.dtype == jnp.bfloat16
+    # Params are initialized fp32 regardless of compute dtype.
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    step = jax.jit(make_train_step(model, tx))
+    state2, metrics = step(state, _tiny_batch())
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state2.params))

@@ -44,6 +44,11 @@ def parse_args(argv=None):
     ap.add_argument("--lr-drop-epoch", type=int, default=3)
     ap.add_argument("--lr-after-drop", type=float, default=1e-5)
     ap.add_argument("--clip-length", type=int, default=32)
+    ap.add_argument("--compute-dtype", choices=["fp32", "bf16"], default="fp32",
+                    help="model compute dtype (params/optimizer stay fp32). "
+                         "fp32 is the reference-parity default; bf16 is a "
+                         "measured -12%% step-time opt-in that changes the "
+                         "optimization trajectory (see train/loop.py)")
     ap.add_argument("--image-size", type=int, default=112)
     ap.add_argument("--out", type=str, default="save_models/clasfv_checkpoint.pkl")
     ap.add_argument("--resume", type=str, default=None,
@@ -198,6 +203,7 @@ def main(argv=None):
     enable_persistent_cache()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from echoflow.parallel.mesh import data_mesh
@@ -217,6 +223,7 @@ def main(argv=None):
         clip_length=args.clip_length,
         image_size=(args.image_size, args.image_size),
         batch_size=args.batch_size,
+        compute_dtype={"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.compute_dtype],
     )
     model, state, tx = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     start_epoch = 0
