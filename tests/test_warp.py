@@ -66,3 +66,52 @@ def test_warp_gradients_match_torch(rng):
 
     np.testing.assert_allclose(np.asarray(gi), ti.grad.numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(go), to.grad.numpy(), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_warp_randomized_parity_sweep(rng):
+    """Randomized fuzz vs the torch oracle: odd shapes, huge offsets
+    (border-clamp saturation), tiny images, forward AND gradient parity.
+    Seeded, 10 cases — slow profile (each distinct shape is a fresh CPU
+    compile)."""
+    cases = []
+    for k in range(10):
+        n = int(rng.randint(1, 4))
+        c = int(rng.randint(1, 5))
+        h = int(rng.randint(2, 41))
+        w = int(rng.randint(2, 41))
+        scale = float(rng.choice([0.01, 0.3, 1.0, 4.0]))  # 4.0: fully clamped
+        cases.append((n, c, h, w, scale))
+
+    for n, c, h, w, scale in cases:
+        img = rng.randn(n, c, h, w).astype(np.float32)
+        off = (scale * rng.randn(n, 2, h, w)).astype(np.float32)
+        ours = np.asarray(warp_image_with_offsets(jnp.asarray(img), jnp.asarray(off)))
+        theirs = torch_reference_warp(img, off)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4,
+                                   err_msg=f"fwd {(n, c, h, w, scale)}")
+
+        def loss_jax(i, o):
+            return jnp.sum(warp_image_with_offsets(i, o) ** 2)
+
+        gi, go = jax.grad(loss_jax, argnums=(0, 1))(
+            jnp.asarray(img), jnp.asarray(off))
+        ti = torch.from_numpy(img).requires_grad_(True)
+        to = torch.from_numpy(off).requires_grad_(True)
+        grid_w, grid_h = torch.meshgrid(
+            [torch.linspace(-1, 1, h), torch.linspace(-1, 1, w)], indexing="ij")
+        offset_h, offset_w = torch.split(to, 1, 1)
+        grid = torch.stack((offset_h.reshape(-1, h, w) + grid_h,
+                            offset_w.reshape(-1, h, w) + grid_w), 3)
+        out = F.grid_sample(ti, grid, align_corners=False, mode="bilinear",
+                            padding_mode="border")
+        (out ** 2).sum().backward()
+        # Gradient magnitudes reach ~1e3 under the squared-sum loss at
+        # scale 4; fp32 reassociation alone produces ~1e-3 absolute
+        # differences (verified: max observed relative error ~1e-5).
+        np.testing.assert_allclose(np.asarray(gi), ti.grad.numpy(),
+                                   rtol=1e-3, atol=5e-3,
+                                   err_msg=f"d/dimg {(n, c, h, w, scale)}")
+        np.testing.assert_allclose(np.asarray(go), to.grad.numpy(),
+                                   rtol=1e-3, atol=5e-3,
+                                   err_msg=f"d/doff {(n, c, h, w, scale)}")
