@@ -275,3 +275,36 @@ def test_total_loss_grad_flows(clip):
     assert np.isfinite(np.asarray(g_mot)).all()
     assert float(jnp.abs(g_seg).max()) > 0
     assert float(jnp.abs(g_mot).max()) > 0
+
+
+@pytest.mark.slow
+def test_motion_seg_loss_randomized_ed_es_sweep(rng):
+    """Randomized masking fuzz: 6 random (ed, es) index pairs on a longer
+    clip (T=10) vs the literal torch chain loops — the per-sample dynamic
+    start/stop masking (active_fn / ots_frame arithmetic) is where an
+    off-by-one would hide."""
+    n, t, h, w = 1, 10, 12, 12
+    pairs = set()
+    while len(pairs) < 6:
+        ed = int(rng.randint(0, t - 1))
+        es = int(rng.randint(ed + 1, t))
+        pairs.add((ed, es))
+
+    for ed, es in sorted(pairs):
+        video = rng.rand(n, 3, t, h, w).astype(np.float32)
+        motion = (0.1 * rng.randn(n, 4, t, h, w)).astype(np.float32)
+        seg = rng.randn(n, 2, t, h, w).astype(np.float32)
+        lab_ed = (rng.rand(h, w) > 0.6).astype(np.int32)
+        lab_es = (rng.rand(h, w) > 0.8).astype(np.int32)
+
+        sgs_t, ots_t = t_motion_seg(
+            lab_ed, lab_es, ed, es,
+            torch.from_numpy(motion), torch.from_numpy(seg))
+        sgs_j, ots_j = motion_seg_loss(
+            jnp.asarray(lab_ed[None]), jnp.asarray(lab_es[None]),
+            jnp.full((n,), ed), jnp.full((n,), es),
+            jnp.asarray(motion), jnp.asarray(seg))
+        np.testing.assert_allclose(float(sgs_j), float(sgs_t), rtol=1e-4,
+                                   err_msg=f"sgs ed={ed} es={es}")
+        np.testing.assert_allclose(float(ots_j), float(ots_t), rtol=1e-4,
+                                   atol=1e-6, err_msg=f"ots ed={ed} es={es}")

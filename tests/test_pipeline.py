@@ -236,3 +236,48 @@ def test_operand_cache_is_lru_bounded(tiny_model):
     b = seg.segment_video(video)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (33, 32, 32)
+
+
+def test_concurrent_engine_use_is_thread_safe(tiny_model, tiny_engine):
+    """The graph/operand caches are shared mutable state: segment_videos
+    stages on a worker thread while direct segment_video calls may arrive
+    from other threads (pipeline.py's _cache_lock). Hammer both entry
+    points concurrently with distinct lengths (forcing operand-cache churn)
+    and check every result equals its sequential golden."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, variables = tiny_model
+    videos = {
+        length: zeroone_normalizer(
+            make_beating_video(num_frames=length, height=32, width=32,
+                               period=20.0, seed=length).video)
+        for length in (40, 45, 64)
+    }
+    golden = {
+        length: tiny_engine.segment_video(v, num_clips=2, step=1,
+                                          fuse_method="majority")
+        for length, v in videos.items()
+    }
+
+    def direct(length):
+        return length, tiny_engine.segment_video(
+            videos[length], num_clips=2, step=1, fuse_method="majority")
+
+    def stream():
+        order = [40, 64, 45, 40, 64]
+        outs = list(tiny_engine.segment_videos(
+            (videos[L] for L in order), num_clips=2, step=1,
+            fuse_method="majority", queue_depth=3))
+        return list(zip(order, outs))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(stream)]
+        futs += [pool.submit(direct, L) for L in (45, 64, 40, 64, 45)]
+        results = []
+        for f in futs:
+            r = f.result()
+            results.extend(r if isinstance(r, list) else [r])
+
+    for length, masks in results:
+        np.testing.assert_array_equal(masks, golden[length],
+                                      err_msg=f"length {length}")
