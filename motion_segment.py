@@ -95,7 +95,13 @@ def read_video_rgb(path: str):
 def main(argv=None):
     args = parse_args(argv)
     if args.device.lower() == "cpu":
+        # The env var alone is ineffective when a site hook has already
+        # imported jax (observed with the axon plugin: every array op then
+        # still targets the TPU); the config update forces CPU either way.
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
     import jax.numpy as jnp
