@@ -102,51 +102,71 @@ def _machine_matmul_tfs(chain: int = 16):
     return round(chain * 2 * 4096 ** 3 / best / 1e12, 1)
 
 
-def _train_step_ms(n_steps: int = 8):
-    """Latency-amortized CLAS-FV train step (batch 4, 32x112x112): n_steps
-    steps chained in ONE dispatch via lax.scan (state carried, same batch),
-    timed as a single materialization — the scan isolates device step time
-    from the tunnel's per-dispatch round trip the same way
-    `_machine_matmul_tfs` does for matmuls. Measured ~345 ms/step even
-    scan-chained; ablation (benchmarks/profile_train_step.py) splits it
-    ~155 ms model fwd+bwd + ~99 ms SGS/OTS warp-scan grads + ~90 ms OTA
-    in-graph. An earlier 77 ms claim came from a harness whose
-    `block_until_ready` returned early. Certifies the README train-step
-    number (train notebook cell 10 recipe)."""
+def make_train_bench_fixture(batch_size: int = 4):
+    """The canonical train-step bench recipe (train notebook cell 10:
+    batch 4, 32x112x112 clips, CLAS-FV loss, Adam): returns
+    (state, batch, chained_steps_fn) where chained_steps_fn(state, batch,
+    n) runs n steps in ONE dispatch via lax.scan and returns the per-step
+    losses. Shared with benchmarks/profile_train_step.py so the profiler
+    ablates exactly the step that bench certifies."""
     import jax
     import jax.numpy as jnp
 
     from echoflow.train.loop import TrainConfig, create_train_state, make_train_step
 
-    cfg = TrainConfig(clip_length=32, image_size=(112, 112), batch_size=4)
+    cfg = TrainConfig(clip_length=32, image_size=(112, 112),
+                      batch_size=batch_size)
     model, state, tx = create_train_state(
         jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 32, 112, 112))
     step = make_train_step(model, tx)
 
+    n = batch_size
     rng = np.random.RandomState(0)
     batch = {
-        "video": jnp.asarray(rng.rand(4, 3, 32, 112, 112), jnp.float32),
-        "ed_label": jnp.asarray((rng.rand(4, 112, 112) > 0.7).astype(np.int32)),
-        "es_label": jnp.asarray((rng.rand(4, 112, 112) > 0.85).astype(np.int32)),
-        "ed_idx": jnp.asarray(rng.randint(0, 8, size=(4,))),
-        "es_idx": jnp.asarray(rng.randint(24, 31, size=(4,))),
+        "video": jnp.asarray(rng.rand(n, 3, 32, 112, 112), jnp.float32),
+        "ed_label": jnp.asarray((rng.rand(n, 112, 112) > 0.7).astype(np.int32)),
+        "es_label": jnp.asarray((rng.rand(n, 112, 112) > 0.85).astype(np.int32)),
+        "ed_idx": jnp.asarray(rng.randint(0, 8, size=(n,))),
+        "es_idx": jnp.asarray(rng.randint(24, 31, size=(n,))),
     }
 
-    @jax.jit
-    def steps(state, batch):
-        def body(carry, _):
-            new_state, metrics = step(carry, batch)
-            return new_state, metrics["loss"]
+    compiled = {}
 
-        return jax.lax.scan(body, state, None, length=n_steps)
+    def chained_steps(state, batch, n_steps):
+        if n_steps not in compiled:
+            @jax.jit
+            def steps(state, batch):
+                def body(carry, _):
+                    new_state, metrics = step(carry, batch)
+                    return new_state, metrics["loss"]
 
-    final, losses = steps(state, batch)  # compile
-    jax.block_until_ready(losses)
+                return jax.lax.scan(body, state, None, length=n_steps)[1]
+
+            compiled[n_steps] = steps
+        return compiled[n_steps](state, batch)
+
+    import types
+
+    return types.SimpleNamespace(model=model, state=state, batch=batch,
+                                 chained_steps=chained_steps)
+
+
+def _train_step_ms(n_steps: int = 8):
+    """Latency-amortized CLAS-FV train step (batch 4, 32x112x112): n_steps
+    steps chained in ONE dispatch via lax.scan (state carried, same batch),
+    timed as a single host materialization of the small per-step loss
+    vector — NOT `block_until_ready`, which on the tunneled backend
+    sometimes returns before the computation finishes (the source of a
+    retracted 77 ms claim). Measured ~345 ms/step even scan-chained;
+    ablation (benchmarks/profile_train_step.py) splits it ~155 ms model
+    fwd+bwd + ~99 ms SGS/OTS warp-scan grads + ~90 ms OTA in-graph."""
+    fx = make_train_bench_fixture()
+
+    np.asarray(fx.chained_steps(fx.state, fx.batch, n_steps))  # compile+warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _, losses = steps(state, batch)
-        jax.block_until_ready(losses)
+        np.asarray(fx.chained_steps(fx.state, fx.batch, n_steps))
         best = min(best, time.perf_counter() - t0)
     return round(best / n_steps * 1000, 1)
 
@@ -174,10 +194,14 @@ def _forward_ms_per_clip(variables, chunk: int = 30, n_iters: int = 8,
     folded = jax.device_put(folded)
     xs = jnp.asarray(np.random.RandomState(0).rand(chunk, 3, 32, 112, 112),
                      jnp.float32)
-    jax.block_until_ready(fwd(folded, xs))  # compile
+    # Barrier = host materialization of ONE element of the last output
+    # (4-byte fetch that awaits the in-order device stream) — NOT
+    # block_until_ready, which on the tunneled backend sometimes returns
+    # early (the source of a retracted timing claim; see _train_step_ms).
+    float(fwd(folded, xs)[0, 0, 0, 0, 0])  # compile + warm
     t0 = time.perf_counter()
     outs = [fwd(folded, xs) for _ in range(n_iters)]
-    jax.block_until_ready(outs[-1])
+    float(outs[-1][0, 0, 0, 0, 0])
     return round((time.perf_counter() - t0) / (n_iters * chunk) * 1000, 2)
 
 
@@ -214,8 +238,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true",
-                    help="measure only the train step (prints the same JSON "
-                         "with the inference fields nulled)")
+                    help="measure only the train step (prints one JSON line "
+                         "with metric 'CLAS-FV train step', unit ms/step; "
+                         "the inference fields are absent)")
     ap.add_argument("--no-train", action="store_true",
                     help="skip the train-step measurement")
     ap.add_argument("--deadline", type=float, default=2400.0,
@@ -237,19 +262,20 @@ def main():
     result = {}
     watchdog = _arm_watchdog(result, args.deadline)
 
+    if args.train:
+        # Train-only mode: skip the (unused) inference-model init entirely
+        # and keep the watchdog armed through the device-heavy measurement.
+        result["metric"] = "CLAS-FV train step (batch 4, 32x112x112)"
+        result["unit"] = "ms/step"
+        result["vs_baseline"] = None
+        result["value"] = _train_step_ms()
+        watchdog.cancel()
+        print(json.dumps(result))
+        return
+
     rng = jax.random.PRNGKey(0)
     model = R2Plus1DMotionSegNet()
     variables = init_variables(rng, model, (1, 3, 32, 112, 112))
-
-    if args.train:
-        watchdog.cancel()
-        print(json.dumps({
-            "metric": "CLAS-FV train step (batch 4, 32x112x112)",
-            "value": _train_step_ms(),
-            "unit": "ms/step",
-            "vs_baseline": None,
-        }))
-        return
 
     # Raw uint8 videos, as they come off the decoder: normalization happens
     # on device inside the jitted graph.

@@ -62,7 +62,7 @@ def main():
 
     enable_persistent_cache()
 
-    from echoflow.train.loop import TrainConfig, create_train_state, make_train_step
+    from bench import make_train_bench_fixture
     from echoflow.train.losses import (
         clasfv_total_loss,
         deformation_motion_loss,
@@ -71,30 +71,19 @@ def main():
 
     n = args.batch
     chain = args.chain
-    cfg = TrainConfig(clip_length=32, image_size=(112, 112), batch_size=n)
-    model, state, tx = create_train_state(
-        jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 32, 112, 112))
-    step = make_train_step(model, tx)
+    # The SAME state/batch/chained-step recipe bench.py certifies — the
+    # profiler must ablate exactly the step the artifact reports.
+    fx = make_train_bench_fixture(batch_size=n)
+    model, state, batch = fx.model, fx.state, fx.batch
 
-    rng = np.random.RandomState(0)
-    batch = {
-        "video": jnp.asarray(rng.rand(n, 3, 32, 112, 112), jnp.float32),
-        "ed_label": jnp.asarray((rng.rand(n, 112, 112) > 0.7).astype(np.int32)),
-        "es_label": jnp.asarray((rng.rand(n, 112, 112) > 0.85).astype(np.int32)),
-        "ed_idx": jnp.asarray(rng.randint(0, 8, size=(n,))),
-        "es_idx": jnp.asarray(rng.randint(24, 31, size=(n,))),
-    }
+    rng = np.random.RandomState(1)
     seg0 = jnp.asarray(rng.randn(n, 2, 32, 112, 112), jnp.float32)
     mot0 = jnp.asarray(np.tanh(rng.randn(n, 4, 32, 112, 112)) * 0.05, jnp.float32)
 
     results = {}
 
-    @jax.jit
     def full(state, batch):
-        def body(carry, _):
-            new_state, metrics = step(carry, batch)
-            return new_state, metrics["loss"]
-        return jax.lax.scan(body, state, None, length=chain)[1]
+        return fx.chained_steps(state, batch, chain)
 
     results["full_ms"] = _timed(full, state, batch) / chain * 1000
 

@@ -190,5 +190,14 @@ def main(argv=None):
     return segmentations, predicted_efs, edes_pairs
 
 
+def cli(argv=None):
+    """Console-script entry point: setuptools wrappers run
+    `sys.exit(entry())`, and main()'s (segmentations, efs, pairs) return
+    tuple would make every invocation exit 1 and dump the tuple to stderr.
+    Discard it and exit 0."""
+    main(argv)
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    cli()
