@@ -31,6 +31,17 @@ Also certified here (round-2 verdict items 3-4):
 Baseline: the reference segments the 1,276-video EchoNet test split in
 68m46s with this config (label_fusion_compute_EF notebook cell 8) — at the
 split's ~175-frame average that is ~54 frames/sec on a CUDA GPU.
+
+Outage resilience (round-3 verdict item 1): the default invocation is a
+jax-free PARENT that (a) health-checks the TPU tunnel with short-timeout
+subprocess probes, (b) runs the actual measurement in a `--child`
+subprocess with its own watchdog, and (c) on a transient failure
+(`UNAVAILABLE` backend init, tunnel wedge, child crash) waits and retries
+with a fresh process until the overall deadline. The observed outage
+pattern (wedges self-recover in 5-15 min) means a single-shot init loses
+captures a retry loop salvages — BENCH_r03 was exactly that loss. The
+parent prints ONE JSON line either way: the first complete capture, else
+the most complete partial, and exits nonzero on anything partial.
 """
 
 from __future__ import annotations
@@ -225,7 +236,7 @@ def _arm_watchdog(partial: dict, deadline_sec: float):
             f"watchdog: bench exceeded {deadline_sec:.0f}s "
             "(tunnel wedge — see README variance note)")
         print(json.dumps(partial), flush=True)
-        os._exit(0)
+        os._exit(1)  # partial: let the parent/driver see a nonzero rc
 
     t = threading.Timer(deadline_sec, fire)
     t.daemon = True
@@ -233,22 +244,7 @@ def _arm_watchdog(partial: dict, deadline_sec: float):
     return t
 
 
-def main():
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--train", action="store_true",
-                    help="measure only the train step (prints one JSON line "
-                         "with metric 'CLAS-FV train step', unit ms/step; "
-                         "the inference fields are absent)")
-    ap.add_argument("--no-train", action="store_true",
-                    help="skip the train-step measurement")
-    ap.add_argument("--deadline", type=float, default=2400.0,
-                    help="overall watchdog deadline in seconds; on expiry "
-                         "the completed phases are printed as a single "
-                         "JSON line flagged partial=true")
-    args = ap.parse_args()
-
+def main(args):
     from echoflow.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -336,16 +332,17 @@ def main():
     print(json.dumps(result))
 
 
-def _main_with_crash_report():
+def _child_main(args):
     """A hard tunnel outage surfaces as an exception (e.g. `UNAVAILABLE:
     TPU backend setup/compile error` at init, observed live) rather than a
-    hang; still print ONE JSON line so the driver records *something*."""
+    hang; still print ONE JSON line so the parent records *something*."""
     try:
-        main()
+        main(args)
     except Exception as e:  # noqa: BLE001 - terminal reporting path
+        import sys
         import traceback
 
-        traceback.print_exc()
+        traceback.print_exc(file=sys.stderr)
         print(json.dumps({
             "metric": "full-video 5-shift SIMPLE-fusion segmentation + EF throughput",
             "value": None,
@@ -354,8 +351,165 @@ def _main_with_crash_report():
             "partial": True,
             "partial_reason": f"crashed: {type(e).__name__}: {str(e)[:200]}",
         }), flush=True)
-        raise SystemExit(0)
+        raise SystemExit(1)
+
+
+# ---------------------------------------------------------------------------
+# Parent-side orchestration (no jax in this process — a poisoned backend
+# cache can't leak between attempts, and a wedge only ever blocks a child).
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp; jax.devices(); "
+    "print('PROBE_OK', float((jnp.ones((256,256)) @ jnp.ones((256,256)))[0,0]))"
+)
+
+
+def _probe_backend(timeout_sec: float = 180.0) -> bool:
+    """True iff a fresh subprocess can init the default backend AND run a
+    real matmul within `timeout_sec`. Cheap to fail: a wedged tunnel hangs
+    the child, the timeout kills it, and the parent has only lost
+    `timeout_sec` — not the ~25 min an in-process init spends before
+    raising UNAVAILABLE."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], timeout=timeout_sec,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+        return out.returncode == 0 and b"PROBE_OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _extract_json_line(stdout_text: str):
+    """The child contract is ONE JSON object line on stdout; tolerate stray
+    library chatter by taking the LAST parseable object line."""
+    found = None
+    for line in stdout_text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                found = json.loads(line)
+            except ValueError:
+                continue
+    return found
+
+
+def _more_complete(a, b):
+    """Pick the better of two partial captures: a non-null value wins, then
+    more measured fields."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    a_val, b_val = a.get("value") is not None, b.get("value") is not None
+    if a_val != b_val:
+        return a if a_val else b
+    return a if len(a) >= len(b) else b
+
+
+def _run_child(args, budget_sec: float):
+    """One measurement attempt in a fresh process. Returns (json_or_None,
+    reason_str). The child gets a watchdog `--deadline` inside our budget
+    and a kill-timeout slightly above it, so a wedge can't run away."""
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, __file__, "--child",
+           "--deadline", str(max(60.0, budget_sec))]
+    if args.train:
+        cmd.append("--train")
+    if args.no_train:
+        cmd.append("--no-train")
+    try:
+        proc = subprocess.run(cmd, timeout=budget_sec + 90,
+                              stdout=subprocess.PIPE)
+    except subprocess.TimeoutExpired:
+        return None, "child timeout (tunnel wedge survived the watchdog)"
+    line = _extract_json_line(proc.stdout.decode("utf-8", "replace"))
+    if line is None:
+        return None, f"child exited rc={proc.returncode} with no JSON line"
+    return line, line.get("partial_reason", "")
+
+
+def _parent_main(args):
+    t_end = time.time() + args.deadline
+    best = None
+    attempt = 0
+    while True:
+        remaining = t_end - time.time()
+        if remaining < 120:
+            break
+        if not _probe_backend(timeout_sec=min(180.0, remaining - 30)):
+            print(f"bench parent: backend probe failed (attempt {attempt}), "
+                  f"{remaining:.0f}s left; sleeping 45s",
+                  file=__import__("sys").stderr, flush=True)
+            time.sleep(min(45.0, max(0.0, t_end - time.time() - 60)))
+            attempt += 1
+            continue
+        # Cap one attempt well above the healthy runtime (~8-12 min) but
+        # below "burns the whole budget": a mid-run wedge leaves retry room.
+        budget = min(remaining - 60, args.attempt_budget)
+        result, reason = _run_child(args, budget)
+        if result is not None and not result.get("partial"):
+            print(json.dumps(result))
+            return 0
+        if result is None:
+            result = {
+                "metric": ("CLAS-FV train step (batch 4, 32x112x112)"
+                           if args.train else
+                           "full-video 5-shift SIMPLE-fusion segmentation"
+                           " + EF throughput"),
+                "unit": "ms/step" if args.train else "frames/sec",
+                "value": None, "vs_baseline": None,
+                "partial": True, "partial_reason": reason,
+            }
+        best = _more_complete(best, result)
+        print(f"bench parent: attempt {attempt} partial ({reason!r}); "
+              f"{t_end - time.time():.0f}s left",
+              file=__import__("sys").stderr, flush=True)
+        attempt += 1
+        time.sleep(min(60.0, max(0.0, t_end - time.time() - 90)))
+    if best is None:
+        best = {
+            "metric": "full-video 5-shift SIMPLE-fusion segmentation + EF throughput",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "partial": True,
+            "partial_reason": "no attempt completed: backend unavailable "
+                              "for the whole deadline window",
+        }
+    print(json.dumps(best))
+    return 1
+
+
+def _parse_args(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="measure only the train step (prints one JSON line "
+                         "with metric 'CLAS-FV train step', unit ms/step; "
+                         "the inference fields are absent)")
+    ap.add_argument("--no-train", action="store_true",
+                    help="skip the train-step measurement")
+    ap.add_argument("--deadline", type=float, default=2280.0,
+                    help="overall deadline in seconds (parent: retry window; "
+                         "child: watchdog); on expiry the completed phases "
+                         "are printed as a single JSON line flagged "
+                         "partial=true")
+    ap.add_argument("--attempt-budget", type=float, default=1100.0,
+                    help="parent: max seconds for one child attempt")
+    ap.add_argument("--child", action="store_true",
+                    help="internal: run the measurement in this process "
+                         "(no probe/retry loop)")
+    return ap.parse_args(argv)
 
 
 if __name__ == "__main__":
-    _main_with_crash_report()
+    _args = _parse_args()
+    if _args.child:
+        _child_main(_args)
+    else:
+        raise SystemExit(_parent_main(_args))

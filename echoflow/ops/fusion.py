@@ -74,6 +74,11 @@ def simple_fuse(
     zero weight in every statistic, so the result is identical to running
     on the compacted live-only stack (up to fp summation order) — the
     stack's dead slots may hold arbitrary data.
+
+    Precondition: at least one rater must be live (`live is None` or
+    `sum(live) >= 1`). With zero live raters the keep-best rule would
+    resurrect an arbitrary dead slot; `fuse_frames` guards this case and
+    returns an all-background mask instead of calling in.
     """
     raters = raters.astype(jnp.float32)
     num_raters = raters.shape[0]
@@ -129,6 +134,10 @@ def staple_fuse(
     zero log-likelihood and are excluded from the prior, making the result
     identical to EM over the compacted live-only stack (up to fp order);
     their (p, q) trajectories are junk but never read.
+
+    Precondition: at least one live rater — with none, the prior collapses
+    to its clip floor and the decision is arbitrary. `fuse_frames` guards
+    the zero-live case and returns all-background without calling in.
     """
     d = raters.astype(jnp.float32)  # (R, H, W)
     num_raters = d.shape[0]
@@ -245,8 +254,14 @@ def fuse_frames(
         else:
             raise ValueError(f"unknown fuse method: {method}")
         # Reference rule: a single live rater is copied through, not fused.
+        # Zero live raters (unreachable from the engine's shift plan, which
+        # guarantees every frame >= 1 rater, but expressible on the public
+        # API) yields an all-background mask rather than an arbitrary dead
+        # slot's garbage.
+        n_live = jnp.sum(live_mask)
         first_live = jnp.argmax(live_mask)
         single = frames[first_live].astype(jnp.uint8)
-        return jnp.where(jnp.sum(live_mask) <= 1.0, single, fused)
+        out = jnp.where(n_live <= 1.0, single, fused)
+        return jnp.where(n_live < 1.0, jnp.zeros_like(out), out)
 
     return jax.vmap(fuse_one)(rater_stack, live)
