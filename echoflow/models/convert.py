@@ -151,6 +151,101 @@ def _convert_backbone_key(tree: dict, name: str, v: np.ndarray):
     raise KeyError(f"unrecognized block key: layer{layer}.{block}.{rest}")
 
 
+def _leaf_paths(tree: dict, prefix=()) -> dict:
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_leaf_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(np.shape(v))
+    return out
+
+
+def _overlay(base, over, path=()):
+    """Recursively overlay converted leaves onto a copy of `base`,
+    validating every path exists with an identical shape."""
+    out = dict(base)
+    for k, v in over.items():
+        if k not in out:
+            raise KeyError(f"converted path {'/'.join(path + (k,))} is not "
+                           "in the model's variable tree")
+        if isinstance(v, Mapping):
+            out[k] = _overlay(out[k], v, path + (k,))
+        else:
+            if tuple(np.shape(out[k])) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path + (k,))}: "
+                    f"checkpoint {np.shape(v)} vs model {np.shape(out[k])}")
+            out[k] = np.asarray(v, dtype=np.float32)
+    return out
+
+
+def convert_kinetics_backbone(state_dict: Mapping[str, "np.ndarray"],
+                              base_variables: Mapping) -> dict:
+    """Backbone-only initialization from a STOCK torchvision `r2plus1d_18`
+    Kinetics-400 state dict (keys `stem.*`, `layer{1-4}.*`, `fc.*` — no
+    `module.` prefix, no decoder/head keys).
+
+    This is the reference's actual training recipe: it constructs
+    `r2plus1d_18(pretrained=True)` and fine-tunes from Kinetics-400
+    weights with fresh decoder/heads (reference
+    src/model/R2plus1D_18_MotionNet.py:13). Returns a NEW variable tree:
+    `base_variables` (a fresh `init_variables` tree, supplying the
+    fresh-init comb/seg/motion heads) with the entire backbone —
+    stem, layer1-4, and the dead Kinetics fc — replaced by the
+    checkpoint's weights. Raises if the state dict contains non-backbone
+    keys (use `convert_state_dict` for a full reference checkpoint) or
+    doesn't cover the whole backbone.
+    """
+    tree: dict = {"params": {}, "batch_stats": {}}
+
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    for key, value in state_dict.items():
+        name = key[len("module."):] if key.startswith("module.") else key
+        if name.endswith("num_batches_tracked"):
+            continue
+        try:
+            _convert_backbone_key(tree, name, to_np(value))
+        except KeyError:
+            raise KeyError(
+                f"non-backbone key {key!r} in state dict — this looks like "
+                "a full reference checkpoint; use convert_state_dict / "
+                "load_reference_checkpoint for those") from None
+
+    # The checkpoint must cover the ENTIRE backbone: a partial overlay
+    # would silently mix pretrained and random backbone weights.
+    for coll in ("params", "batch_stats"):
+        want = {p for p in _leaf_paths(dict(base_variables[coll]))
+                if p[0] == "backbone" or p[0] in ("fc_kernel", "fc_bias")}
+        got = set(_leaf_paths(tree[coll]))
+        missing = want - got
+        if missing:
+            raise ValueError(
+                f"Kinetics state dict does not cover the full backbone; "
+                f"missing e.g. {sorted(missing)[:5]}")
+
+    return {
+        "params": _overlay(base_variables["params"], tree["params"]),
+        "batch_stats": _overlay(base_variables["batch_stats"],
+                                tree["batch_stats"]),
+    }
+
+
+def load_kinetics_backbone(path: str, base_variables: Mapping) -> dict:
+    """Load a stock torchvision r2plus1d_18 Kinetics `.pth` (a bare state
+    dict, or wrapped under 'state_dict'/'model') and graft its backbone
+    onto `base_variables` (heads stay fresh). Host-side, one-off."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    for wrapper in ("state_dict", "model"):
+        if isinstance(payload, dict) and wrapper in payload:
+            payload = payload[wrapper]
+    return convert_kinetics_backbone(payload, base_variables)
+
+
 def load_reference_checkpoint(path: str) -> dict:
     """Load a reference `.pth` checkpoint ({'model': state_dict, ...}) into
     flax variables. Requires torch (host-side, one-off conversion)."""

@@ -19,7 +19,11 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
-from echoflow.models.convert import assert_tree_matches_model, convert_state_dict
+from echoflow.models.convert import (
+    assert_tree_matches_model,
+    convert_kinetics_backbone,
+    convert_state_dict,
+)
 from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables, midplanes
 
 # Full-model CPU compiles: minutes on this 1-core host (see pytest.ini).
@@ -146,3 +150,77 @@ def test_full_forward_parity(torch_model):
 def test_unknown_key_raises(torch_model):
     with pytest.raises(KeyError):
         convert_state_dict({"module.not_a_real_layer.weight": np.zeros((1,))})
+
+
+# --------------------------------------------------------------------------
+# Kinetics-pretrained backbone initialization (the reference training recipe
+# constructs r2plus1d_18(pretrained=True) — R2plus1D_18_MotionNet.py:13 —
+# so fine-tuning starts from a STOCK torchvision Kinetics-400 state dict:
+# no module. prefix, no decoder/head keys, heads fresh).
+
+@pytest.fixture(scope="module")
+def kinetics_state_dict():
+    torch.manual_seed(1)
+    backbone = _Backbone()
+    with torch.no_grad():
+        for mod in backbone.modules():
+            if isinstance(mod, nn.BatchNorm3d):
+                mod.running_mean.normal_(0, 0.05)
+                mod.running_var.uniform_(0.7, 1.4)
+    return {k: v.numpy() for k, v in backbone.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def fresh_variables():
+    flax_model = R2Plus1DMotionSegNet()
+    return jax.tree.map(
+        np.asarray, init_variables(jax.random.PRNGKey(3), flax_model, (1, 3, 8, 16, 16)))
+
+
+def test_kinetics_backbone_graft(kinetics_state_dict, fresh_variables):
+    grafted = convert_kinetics_backbone(kinetics_state_dict, fresh_variables)
+    sd, base = kinetics_state_dict, fresh_variables
+
+    # Backbone weights come from the checkpoint, layout-converted.
+    want_stem = np.transpose(sd["stem.0.weight"], (2, 3, 4, 1, 0))
+    np.testing.assert_array_equal(
+        grafted["params"]["backbone"]["stem_conv_s"]["kernel"], want_stem)
+    want_l3 = np.transpose(sd["layer3.1.conv2.0.3.weight"], (2, 3, 4, 1, 0))
+    np.testing.assert_array_equal(
+        grafted["params"]["backbone"]["layer3_block1"]["conv2"]["temporal"]["kernel"],
+        want_l3)
+    np.testing.assert_array_equal(
+        grafted["batch_stats"]["backbone"]["stem_bn_s"]["mean"],
+        sd["stem.1.running_mean"])
+    # The dead Kinetics fc head is grafted too (it IS part of the stock dict).
+    np.testing.assert_array_equal(grafted["params"]["fc_kernel"], sd["fc.weight"].T)
+    # Decoder/heads stay exactly the fresh init.
+    np.testing.assert_array_equal(grafted["params"]["comb1_kernel"],
+                                  base["params"]["comb1_kernel"])
+    np.testing.assert_array_equal(grafted["params"]["seg_head"]["kernel"],
+                                  base["params"]["seg_head"]["kernel"])
+    np.testing.assert_array_equal(grafted["batch_stats"]["comb_bn1"]["mean"],
+                                  base["batch_stats"]["comb_bn1"]["mean"])
+    # The grafted tree is still structurally a valid model variable tree.
+    assert_tree_matches_model(grafted, base)
+
+
+def test_kinetics_rejects_reference_checkpoint_keys(kinetics_state_dict, fresh_variables):
+    bad = dict(kinetics_state_dict)
+    bad["comb_1_layer.weight"] = np.zeros((64, 1024, 1, 1, 1), np.float32)
+    with pytest.raises(KeyError, match="non-backbone"):
+        convert_kinetics_backbone(bad, fresh_variables)
+
+
+def test_kinetics_rejects_partial_backbone(kinetics_state_dict, fresh_variables):
+    partial = {k: v for k, v in kinetics_state_dict.items()
+               if not k.startswith("layer4.1.")}
+    with pytest.raises(ValueError, match="full backbone"):
+        convert_kinetics_backbone(partial, fresh_variables)
+
+
+def test_kinetics_rejects_shape_mismatch(kinetics_state_dict, fresh_variables):
+    bad = dict(kinetics_state_dict)
+    bad["fc.weight"] = np.zeros((17, 512), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        convert_kinetics_backbone(bad, fresh_variables)

@@ -51,6 +51,11 @@ def parse_args(argv=None):
                          "optimization trajectory (see train/loop.py)")
     ap.add_argument("--image-size", type=int, default=112)
     ap.add_argument("--out", type=str, default="save_models/clasfv_checkpoint.pkl")
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="stock torchvision r2plus1d_18 Kinetics-400 .pth: "
+                         "initialize the backbone (stem/layer1-4/fc) from "
+                         "it, heads stay fresh — the reference recipe "
+                         "(R2plus1D_18_MotionNet.py:13 pretrained=True)")
     ap.add_argument("--resume", type=str, default=None,
                     help="checkpoint to resume from (restores params/opt/"
                          "step/RNG and the epoch counter)")
@@ -227,6 +232,18 @@ def main(argv=None):
     )
     model, state, tx = create_train_state(jax.random.PRNGKey(args.seed), cfg)
     start_epoch = 0
+    if args.init_from:
+        if args.resume:
+            raise SystemExit("--init-from and --resume are mutually "
+                             "exclusive (resume already carries weights)")
+        from echoflow.models.convert import load_kinetics_backbone
+
+        variables = load_kinetics_backbone(
+            args.init_from,
+            {"params": state.params, "batch_stats": state.batch_stats})
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"initialized backbone from Kinetics checkpoint {args.init_from}")
     if args.resume:
         from echoflow.train.checkpoint import restore_train_state
 
