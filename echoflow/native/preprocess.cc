@@ -1,12 +1,16 @@
 // Native host-side preprocessing for echoflow.
 //
 // Role: the reference's host data path runs inside torch's C++ DataLoader
-// workers (SURVEY.md §2.4); echoflow's equivalent hot host loops live here —
+// workers (SURVEY.md §2.4); echoflow's equivalent hot host loop lives here —
 // per-channel [0,1] intensity normalization (echonet_dataset.py:38-50
-// semantics) and clip-window extraction — implemented with a std::thread
-// pool and exposed through a C ABI consumed via ctypes
-// (echoflow/native/__init__.py). Python/numpy fallbacks keep everything
-// working when the shared library is not built.
+// semantics), fused single-pass for uint8 decoder output — implemented
+// with a std::thread pool and exposed through a C ABI consumed via ctypes
+// (echoflow/native/__init__.py). It is wired into the production host path
+// via ops/normalize.zeroone_normalizer (uint8 inputs), which the CLI and
+// dataset staging call; a numpy fallback keeps everything working when the
+// shared library is not built. A clip-window extraction kernel was
+// measured a wash against numpy's memcpy-bound slicing on this host and
+// removed.
 //
 // Build: make -C echoflow/native   (or `python -m echoflow.native`)
 
@@ -81,23 +85,6 @@ void ef_zeroone_u8(const uint8_t* in, float* out, int64_t channels,
     for (int64_t i = 0; i < per_channel; ++i) {
       dst[i] = (static_cast<float>(src[i]) - flo) / range;
     }
-  });
-}
-
-// Extract n_clips temporal windows from a (C, T, HW) float32 video into a
-// (n_clips, C, clip_len, HW) batch buffer: out[k, c, t] = video[c, starts[k] + t].
-void ef_extract_clips_f32(const float* video, const int64_t* starts,
-                          int64_t n_clips, int64_t channels, int64_t t_len,
-                          int64_t clip_len, int64_t hw, float* out,
-                          int threads) {
-  const int64_t frame = hw;
-  parallel_for(n_clips * channels, threads, [=](int64_t idx) {
-    const int64_t k = idx / channels;
-    const int64_t c = idx % channels;
-    const int64_t start = starts[k];
-    const float* src = video + (c * t_len + start) * frame;
-    float* dst = out + ((k * channels + c) * clip_len) * frame;
-    std::memcpy(dst, src, sizeof(float) * clip_len * frame);
   });
 }
 

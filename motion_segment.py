@@ -133,13 +133,16 @@ def main(argv=None):
         print(f"R2+1D MotionNet has {n_params} parameters.")
 
     raw = read_video_rgb(args.path)  # (F, H, W, 3) uint8
-    video = raw.transpose(3, 0, 1, 2).astype(np.float32)  # (3, F, H, W)
+    video = np.ascontiguousarray(raw.transpose(3, 0, 1, 2))  # (3, F, H, W) u8
 
     # Spatial resize to the model size (trilinear, align_corners=True —
     # reference motion_segment.py:100-104), then [0,1] per-channel norm.
+    # Already-model-sized videos (the standard EchoNet 112x112 case) stay
+    # uint8 into the normalizer, which takes the native single-pass u8
+    # path when built — no separate astype(float32) sweep over the video.
     if video.shape[2:] != (args.height, args.width):
         video = np.asarray(trilinear_resize(
-            jnp.asarray(video[None]),
+            jnp.asarray(video, jnp.float32)[None],
             (video.shape[1], args.height, args.width), align_corners=True))[0]
     video = zeroone_normalizer(video)
 
