@@ -1,6 +1,7 @@
 """Fusion unit tests on synthetic raters (SURVEY.md §7.2 step 5 gate)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from echoflow.ops.fusion import (
@@ -217,3 +218,45 @@ def test_fuse_frames_batched(rng):
         fused = np.asarray(fuse_frames(stack, v, method=method))
         assert fused.shape == (6, 32, 32)
         assert (fused[0] != truth).mean() < 0.02
+
+
+# --------------------------------------------------------------------------
+# SIMPLE hyper-parameter sensitivity (round-3 verdict item 6): the
+# (num_iters=5, alpha=1.0) defaults are self-chosen per the SIMPLE paper,
+# not inherited from ITK. Measured across iters ∈ {3,5,8} x alpha ∈
+# {0.75,1.0,1.25} on realistic 5-rater stacks (4 raters at 3% flip noise
+# plus one gross outlier — the shift-ensemble's actual regime), the fused
+# mask is NOT parameter-invariant: up to ~2.9% of pixels swing between
+# settings, because with so few raters the mean - alpha*std cut discretely
+# flips whether the outlier (or a marginal good rater) survives, and the
+# small survivor set's majority vote moves with it. The defaults are
+# therefore PART OF THE OUTPUT CONTRACT (documented in ops/fusion.py);
+# what must hold for any setting in the neighborhood is bounded accuracy,
+# pinned here.
+
+@pytest.mark.parametrize("num_iters", [3, 5, 8])
+@pytest.mark.parametrize("alpha", [0.75, 1.0, 1.25])
+def test_simple_hyperparams_bounded_accuracy(num_iters, alpha):
+    for seed in range(3):
+        rng_l = np.random.RandomState(seed)
+        truth = _disk(64, 64, 32, 32, 14)
+        good = _noisy_raters(rng_l, truth, 4, flip=0.03)
+        bad = _disk(64, 64, 12, 12, 18)[None]
+        raters = jnp.asarray(np.concatenate([good, bad]))
+        fused = np.asarray(simple_fuse(raters, num_iters=num_iters, alpha=alpha))
+        err = (fused != truth).mean()
+        # Every grid point must beat a single noisy rater (3% + outlier
+        # influence); observed max across the grid is 3.05%.
+        assert err <= 3.2e-2, (
+            f"iters={num_iters} alpha={alpha} seed={seed}: err {err:.4f}")
+
+
+def test_simple_default_hyperparams_are_pinned():
+    """The engine's parity behavior depends on (num_iters=5, alpha=1.0) —
+    changing the defaults is a user-visible mask change (see sensitivity
+    measurement above) and must be a conscious, test-breaking decision."""
+    import inspect
+
+    sig = inspect.signature(simple_fuse)
+    assert sig.parameters["num_iters"].default == 5
+    assert sig.parameters["alpha"].default == 1.0

@@ -281,3 +281,54 @@ def test_concurrent_engine_use_is_thread_safe(tiny_model, tiny_engine):
     for length, masks in results:
         np.testing.assert_array_equal(masks, golden[length],
                                       err_msg=f"length {length}")
+
+
+# --------------------------------------------------------------------------
+# Trained-checkpoint parity (round-3 verdict item 5): the random-init
+# amplified-head model above gives decisive logits, but the production
+# engine runs trained weights — pin engine-vs-loop and mesh-vs-single on
+# the bundled synthetic CLAS-FV checkpoint too (slow profile: each case
+# costs a fresh engine compile on the 1-core CPU host).
+
+@pytest.fixture(scope="module")
+def trained_model():
+    import os
+
+    from echoflow.train.checkpoint import load_model_variables
+
+    path = os.path.join(os.path.dirname(__file__), "..", "save_models",
+                        "synthetic_clasfv.pkl")
+    return R2Plus1DMotionSegNet(), load_model_variables(path)
+
+
+@pytest.mark.slow
+def test_engine_matches_reference_with_trained_weights(trained_model):
+    model, variables = trained_model
+    engine = VideoSegmenter(variables, forward_chunk=4, bucket=32)
+    beat = make_beating_video(num_frames=45, height=32, width=32,
+                              period=20.0, seed=4)
+    video = zeroone_normalizer(beat.video.copy())
+    want = slow_reference_pipeline(video, model, variables, 2, 1, "simple")
+    got = engine.segment_video(video, num_clips=2, step=1,
+                               fuse_method="simple")
+    mismatch = (got != want).mean()
+    assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
+
+
+@pytest.mark.slow
+def test_mesh_engine_matches_single_with_trained_weights(trained_model):
+    from echoflow.parallel.mesh import data_mesh
+
+    _, variables = trained_model
+    single = VideoSegmenter(variables, forward_chunk=4, bucket=32)
+    sharded = VideoSegmenter(variables, forward_chunk=1, bucket=32,
+                             mesh=data_mesh(8))
+    beat = make_beating_video(num_frames=45, height=32, width=32,
+                              period=20.0, seed=5)
+    video = zeroone_normalizer(beat.video.copy())
+    want = single.segment_video(video, num_clips=2, step=1,
+                                fuse_method="simple")
+    got = sharded.segment_video(video, num_clips=2, step=1,
+                                fuse_method="simple")
+    mismatch = (got != want).mean()
+    assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
