@@ -14,8 +14,18 @@ SIMPLE fusion):
 
 For each policy: ED/ES-frame LV Dice vs the synthetic ground truth, LV Dice
 and pixel agreement vs the fp32 policy's masks, and stream throughput.
-Decision rule (BASELINE.md north star): a policy may become the default
-only if its Dice-vs-fp32 delta is <= 0.001.
+
+Decision rule — stated precisely (round-3 advisor finding): the BASELINE.md
+accuracy bar ("LV Dice within 0.001 of the reference") is measured against
+clinical traces, i.e. it is a GROUND-TRUTH-accuracy bar — the reference's
+own 0.9354 ED Dice is a Dice-vs-traces number, and a mask-vs-reference-mask
+comparison isn't even measurable here (checkpoint gated). So a policy may
+become the ENGINE default only if `gt_dice_delta` (its ground-truth ED/ES
+Dice minus fp32's) is <= 0.001. Mask-vs-fp32 fidelity (`lv_dice_vs_fp32`,
+`pixel_agree_vs_fp32`) is reported so the non-identity is explicit — bf16
+flips ~0.08% of pixels vs fp32 — and the identical-masks promise lives on
+a separate surface: the CLI defaults to --precision fp32 (the reference
+parity path), and `dtype=jnp.float32` pins the engine.
 
 Usage: python benchmarks/run_precision_study.py [--videos N] [--model PATH]
 Writes benchmarks/precision_study.json and prints a table.
@@ -101,7 +111,9 @@ def main():
             lv_dice(a, b) for a, b in zip(masks[name], masks["fp32"])])
         results[name]["pixel_agree_vs_fp32"] = round(float(agree), 6)
         results[name]["lv_dice_vs_fp32"] = round(float(vs_dice), 4)
-        results[name]["dice_delta_vs_fp32"] = round(
+        # Ground-truth accuracy delta — the decision-gate metric (named so
+        # the artifact can't be misread as a mask-vs-fp32 parity claim).
+        results[name]["gt_dice_delta"] = round(
             results["fp32"]["gt_edes_dice"] - results[name]["gt_edes_dice"], 4)
 
     header = f"{'policy':8} {'fps':>8} {'EDES dice':>10} {'vs fp32 dice':>13} {'agree':>9} {'gt delta':>9}"
@@ -109,7 +121,7 @@ def main():
     for name, r in results.items():
         print(f"{name:8} {r['fps']:>8} {r['gt_edes_dice']:>10} "
               f"{r['lv_dice_vs_fp32']:>13} {r['pixel_agree_vs_fp32']:>9} "
-              f"{r['dice_delta_vs_fp32']:>9}")
+              f"{r['gt_dice_delta']:>9}")
 
     with open(args.out, "w") as f:
         json.dump({"config": vars(args), "results": results}, f, indent=1)

@@ -72,15 +72,19 @@ def test_cli_all_artifacts_match_engine_golden(tmp_path):
 
 
 def test_cli_precision_flag_maps_to_engine_policy():
-    """`--precision` maps onto the engine's dtype policy exactly: auto is
-    the engine default ("auto" -> platform-resolved), fp32 pins the parity
-    path, mixed sets the bf16-backbone/fp32-head split, bf16 forces bf16."""
+    """`--precision` maps onto the engine's dtype policy exactly. The CLI
+    default is fp32 — the CLI is the reference parity surface and the
+    identical-masks clause of the BASELINE north star binds it (the
+    reference runs fp32); the library ENGINE defaults to "auto"
+    (platform-resolved bf16/fp32), gated by the ground-truth Dice bar.
+    fp32 pins the parity path anywhere, mixed sets the
+    bf16-backbone/fp32-head split, bf16 forces bf16."""
     import jax.numpy as jnp
 
     from echoflow.infer.pipeline import VideoSegmenter
 
     args = motion_segment.parse_args(["-p", "v.avi"])
-    assert args.precision == "auto"
+    assert args.precision == "fp32"
     for flag in ("auto", "fp32", "mixed", "bf16"):
         assert motion_segment.parse_args(
             ["-p", "v.avi", "--precision", flag]).precision == flag
