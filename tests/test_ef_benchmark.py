@@ -1,0 +1,45 @@
+"""EF benchmark driver e2e over the synthetic EchoNet-format fixture dir.
+
+The real EchoNet-Dynamic data is access-gated, so the `--data` path of
+`benchmarks/run_ef_benchmark.py` — the command that would produce the
+published-number parity run (BASELINE.md: EF MAE 5.25%, ED Dice 0.9354) —
+is exercised here against `data/fixtures.make_synthetic_echonet_root`,
+asserting the full CSV -> AVI decode -> trace rasterization -> segment ->
+EF/Dice plumbing. If access ever lands, the parity run is one command
+(round-3 verdict item 8).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model CPU forwards over real-length videos
+
+
+def test_ef_benchmark_data_path_on_fixture_dir(tmp_path):
+    from benchmarks.run_ef_benchmark import main
+    from echoflow.data.fixtures import make_synthetic_echonet_root
+
+    root = make_synthetic_echonet_root(tmp_path, n_videos=4, num_frames=64,
+                                       trace_file_order="es_first", seed=11)
+    model = os.path.join(os.path.dirname(__file__), "..", "save_models",
+                         "synthetic_clasfv.pkl")
+    out = tmp_path / "ef_results.json"
+    results = main(["--data", str(root), "--split", "train", "--fuse", "2",
+                    "--model", model, "--out", str(out)])
+
+    # The TRAIN split of a 4-video fixture holds exactly 2 videos; every
+    # sample either produced EFs or was counted as skipped — none may be
+    # silently dropped by the CSV/video/trace plumbing.
+    n_scored = results["ef"].get("n", 0)
+    assert n_scored + results["skipped_no_beats"] == 2
+    assert out.exists()
+
+    # Dice against the rasterized clinical-style traces must have been
+    # computed for every scored video, and be a genuine overlap value.
+    if n_scored:
+        assert results["ed_lv_dice"]["mean"] is not None
+        assert 0.0 <= results["ed_lv_dice"]["mean"] <= 1.0
+        assert 0.0 <= results["es_lv_dice"]["mean"] <= 1.0
+        assert np.isfinite(results["ef"]["mae"])
