@@ -113,13 +113,14 @@ def _machine_matmul_tfs(chain: int = 16):
     return round(chain * 2 * 4096 ** 3 / best / 1e12, 1)
 
 
-def make_train_bench_fixture(batch_size: int = 4):
+def make_train_bench_fixture(batch_size: int = 4, fused_ota: bool = False):
     """The canonical train-step bench recipe (train notebook cell 10:
     batch 4, 32x112x112 clips, CLAS-FV loss, Adam): returns
     (state, batch, chained_steps_fn) where chained_steps_fn(state, batch,
     n) runs n steps in ONE dispatch via lax.scan and returns the per-step
     losses. Shared with benchmarks/profile_train_step.py so the profiler
-    ablates exactly the step that bench certifies."""
+    ablates exactly the step that bench certifies. `fused_ota` selects the
+    OTA-in-scan loss schedule (losses.clasfv_total_loss_fused)."""
     import jax
     import jax.numpy as jnp
 
@@ -129,7 +130,7 @@ def make_train_bench_fixture(batch_size: int = 4):
                       batch_size=batch_size)
     model, state, tx = create_train_state(
         jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 32, 112, 112))
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, fused_ota=fused_ota)
 
     n = batch_size
     rng = np.random.RandomState(0)

@@ -142,6 +142,30 @@ def main():
 
     results["sgsots_grad_ms"] = _timed(chain_grad(sgsots_on), seg0, mot0) / chain * 1000
 
+    # Candidate schedules (round-3 verdict item 4). fused: OTA warps ride
+    # the SGS/OTS scan, sharing per-direction flow coordinates
+    # (losses.clasfv_total_loss_fused — equivalence pinned in
+    # tests/test_losses.py). Also measured as a full chained step so the
+    # winner can become make_train_step's default.
+    from echoflow.train.losses import clasfv_total_loss_fused
+
+    def loss_fused_on(seg, motion):
+        total, _ = clasfv_total_loss_fused(
+            batch["video"], seg, motion, batch["ed_label"], batch["es_label"],
+            batch["ed_idx"], batch["es_idx"])
+        return total
+
+    results["loss_grad_fused_ms"] = _timed(
+        chain_grad(loss_fused_on), seg0, mot0) / chain * 1000
+
+    fx_fused = make_train_bench_fixture(batch_size=n, fused_ota=True)
+
+    def full_fused(state, batch):
+        return fx_fused.chained_steps(state, batch, chain)
+
+    results["full_fused_ms"] = _timed(full_fused, fx_fused.state,
+                                      fx_fused.batch) / chain * 1000
+
     results = {k: round(v, 1) for k, v in results.items()}
     results["unexplained_ms"] = round(
         results["full_ms"] - results["fwd_bwd_ms"] - results["loss_grad_ms"], 1)

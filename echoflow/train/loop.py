@@ -25,7 +25,11 @@ import optax
 from flax import struct
 
 from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables
-from echoflow.train.losses import clasfv_total_loss, ed_es_only_total_loss
+from echoflow.train.losses import (
+    clasfv_total_loss,
+    clasfv_total_loss_fused,
+    ed_es_only_total_loss,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -90,7 +94,8 @@ def create_train_state(rng: jax.Array, cfg: TrainConfig,
     return model, state, tx
 
 
-def _loss_fn(params, batch_stats, model, batch, remat: bool = False):
+def _loss_fn(params, batch_stats, model, batch, remat: bool = False,
+             fused_ota: bool = False):
     def forward(variables, video):
         return model.apply(variables, video, train=True, mutable=["batch_stats"])
 
@@ -102,7 +107,8 @@ def _loss_fn(params, batch_stats, model, batch, remat: bool = False):
 
     (seg, motion), updates = forward(
         {"params": params, "batch_stats": batch_stats}, batch["video"])
-    total, aux = clasfv_total_loss(
+    loss = clasfv_total_loss_fused if fused_ota else clasfv_total_loss
+    total, aux = loss(
         batch["video"], seg, motion,
         batch["ed_label"], batch["es_label"], batch["ed_idx"], batch["es_idx"],
     )
@@ -110,14 +116,17 @@ def _loss_fn(params, batch_stats, model, batch, remat: bool = False):
 
 
 def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformation,
-                    remat: bool = False):
+                    remat: bool = False, fused_ota: bool = False):
     """Returns train_step(state, batch) -> (state, metrics). jit it with the
-    batch sharded over the mesh's `data` axis for DP."""
+    batch sharded over the mesh's `data` axis for DP. `fused_ota` selects
+    the OTA-in-scan loss formulation (identical math, different schedule —
+    see losses.clasfv_total_loss_fused; measured via
+    benchmarks/profile_train_step.py)."""
 
     def train_step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (total, (aux, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, model, batch, remat)
+            state.params, state.batch_stats, model, batch, remat, fused_ota)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -262,9 +271,13 @@ def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
 
     bsh = NamedSharding(mesh, P("data"))
     rsh = NamedSharding(mesh, P())
+    # Donate the incoming TrainState: the loop never reuses the old state,
+    # so params/opt-state/batch-stats update in place — no fresh HBM
+    # allocations + copies of the ~380 MB state pytree every step.
     train_step = jax.jit(
         (step_factory or make_train_step)(model, tx),
-        in_shardings=(rsh, bsh), out_shardings=(rsh, rsh))
+        in_shardings=(rsh, bsh), out_shardings=(rsh, rsh),
+        donate_argnums=(0,))
     state = jax.device_put(state, rsh)
 
     history = []

@@ -280,6 +280,132 @@ def ed_es_only_total_loss(ed_video, es_video, ed_seg, ed_motion, es_seg,
     return total, aux
 
 
+def _ota_smoothness(motion):
+    """The huber flow-smoothness half of OTA, summed per pair exactly as
+    `deformation_motion_loss`'s inner helper accumulates it. motion
+    (N, 4, T, H, W) -> scalar (the un-scaled smooth term)."""
+    n, _, t, h, w = motion.shape
+
+    def huber_per_pair(f):  # f (N, T-1, 2, H, W)
+        dx = f[..., :, 1:] - f[..., :, :-1]
+        dy = f[..., 1:, :] - f[..., :-1, :]
+        err = jnp.sum(dx * dx, axis=(0, 2, 3, 4)) / h + jnp.sum(dy * dy, axis=(0, 2, 3, 4)) / w
+        return jnp.sum(jnp.sqrt(0.01 + err / n))
+
+    flow_fwd = jnp.moveaxis(motion[:, :2, :-1], 2, 1)  # (N, T-1, 2, H, W)
+    flow_bwd = jnp.moveaxis(motion[:, 2:, 1:], 2, 1)
+    return huber_per_pair(flow_fwd) + huber_per_pair(flow_bwd)
+
+
+def _fused_chain_ota_single(video, label_ed, label_es, ed_idx, es_idx, motion,
+                            seg_logits, criterion=bce_with_logits):
+    """Per-sample SGS/OTS chains with OTA's frame warps FUSED into the same
+    scan (round-3 verdict item 4).
+
+    Key observation: OTA's (T-1) forward warps use exactly the per-step
+    forward flows the A/B label chains consume, and its (T-1) backward
+    warps use the backward flows the C/D chains consume (in the same
+    reversed order). Fusing them means the flow -> sample-coordinate math
+    is computed ONCE per direction per step (XLA CSE merges the two warp
+    calls' identical coordinate subgraphs) instead of once for every label
+    chain entry plus again for the standalone OTA batch; the video warp's
+    image-gradient kernel is dead (video is data) and DCE'd because it is
+    a separate call. Math is identical to motion_seg_loss_single +
+    deformation_motion_loss's MSE half up to fp summation order.
+
+    Returns (sgs, ots, mse_sum) — mse_sum is the RAW squared-error sum of
+    both OTA warp directions for this sample; the caller normalizes.
+    """
+    t = motion.shape[1]
+    oh_ed = one_hot_channels(label_ed[None, None], 2)[0]
+    oh_es = one_hot_channels(label_es[None, None], 2)[0]
+
+    fwd_flows = jnp.moveaxis(motion[:2, :-1], 1, 0)       # (T-1, 2, H, W)
+    fwd_ids = jnp.arange(t - 1)
+    bwd_flows = jnp.moveaxis(motion[2:, 1:], 1, 0)[::-1]  # step i: flow T-1-i
+    bwd_ids = jnp.arange(t - 1, 0, -1)
+
+    # OTA pairs, aligned to the scan's step order: forward step i warps
+    # frame i toward frame i+1; backward step i warps frame T-1-i toward
+    # frame T-2-i (deformation_motion_loss's pairs, bwd set reversed).
+    vid = jnp.moveaxis(video, 1, 0)                       # (T, 3, H, W)
+    vf_src, vf_tgt = vid[:-1], vid[1:]
+    vb_src, vb_tgt = vid[1:][::-1], vid[:-1][::-1]
+
+    init_labels = jnp.stack([oh_ed, oh_es, oh_es, oh_ed])  # (4, 2, H, W)
+    start_ids = jnp.stack([ed_idx, es_idx, es_idx, ed_idx])
+    ots_frames = jnp.stack([es_idx - 1, -1, ed_idx + 1, -1])
+    ots_targets = jnp.stack([oh_es, oh_es, oh_ed, oh_ed])
+    directions = jnp.asarray([1, 1, -1, -1])
+    offsets = jnp.asarray([1, 1, -1, -1])
+
+    xs = (fwd_flows, bwd_flows, vf_src, vf_tgt, vb_src, vb_tgt,
+          jnp.stack([fwd_ids, fwd_ids, bwd_ids, bwd_ids], axis=1))
+
+    def step(labels, inp):
+        fflow, bflow, f_src, f_tgt, b_src, b_tgt, fid = inp
+        flows = jnp.stack([fflow, bflow])                    # (2, 2, H, W)
+        # One 4-channel label entry per direction (A|B share the fwd
+        # coords, C|D the bwd coords) + one 3-channel video entry per
+        # direction sharing the SAME flows (coords CSE'd; dimg DCE'd).
+        lab_stack = jnp.stack([
+            jnp.concatenate([labels[0], labels[1]], axis=0),
+            jnp.concatenate([labels[2], labels[3]], axis=0),
+        ])                                                   # (2, 4, H, W)
+        warped_lab = warp_image_with_offsets(lab_stack, flows)
+        warped_vid = warp_image_with_offsets(
+            jax.lax.stop_gradient(jnp.stack([f_src, b_src])), flows)
+        warped = jnp.stack([warped_lab[0, :2], warped_lab[0, 2:],
+                            warped_lab[1, :2], warped_lab[1, 2:]])
+
+        mse_step = (jnp.sum((warped_vid[0] - f_tgt) ** 2)
+                    + jnp.sum((warped_vid[1] - b_tgt) ** 2))
+
+        active = jnp.where(directions > 0, fid >= start_ids, fid <= start_ids)
+        new_labels = jnp.where(active[:, None, None, None], warped, labels)
+        is_ots = active & (fid == ots_frames)
+        ots_terms = jnp.where(is_ots, jax.vmap(soft_dice_loss)(warped, ots_targets), 0.0)
+        frame_logits = jax.vmap(
+            lambda f: jax.lax.dynamic_index_in_dim(seg_logits, f, axis=1, keepdims=False)
+        )(fid + offsets)
+        sgs_each = jax.vmap(criterion)(frame_logits, warped)
+        sgs_terms = jnp.where(active & ~is_ots, sgs_each, 0.0)
+        return new_labels, (sgs_terms, ots_terms, mse_step)
+
+    _, (sgs_terms, ots_terms, mse_steps) = jax.lax.scan(step, init_labels, xs)
+    sgs = jnp.sum(sgs_terms) / ((t - 2) * 2)
+    ots = jnp.sum(ots_terms) / 2.0
+    return sgs, ots, jnp.sum(mse_steps)
+
+
+def clasfv_total_loss_fused(video, seg_logits, motion, label_ed, label_es,
+                            ed_idx, es_idx):
+    """`clasfv_total_loss` with OTA's warps fused into the SGS/OTS scan
+    (see `_fused_chain_ota_single`). Identical math up to fp summation
+    order (equivalence pinned by tests/test_losses.py); selected by
+    `make_train_step(..., fused_ota=True)` when the measured step time
+    favors it."""
+    n, c, t, h, w = video.shape
+    sgs, ots, mse_sums = jax.vmap(
+        _fused_chain_ota_single)(video, label_ed, label_es, ed_idx, es_idx,
+                                 motion, seg_logits)
+    sgs, ots = jnp.mean(sgs), jnp.mean(ots)
+
+    # OTA normalization identical to deformation_motion_loss:
+    # (t-1) * (mean_fwd + mean_bwd) == sum_sq / (N * C * H * W).
+    mse = jnp.sum(mse_sums) / (n * c * h * w)
+    ota = (0.005 * _ota_smoothness(motion) + mse) / 2.0 / (t - 1)
+
+    edes, (ed_logits, es_logits) = edes_supervised_loss(
+        seg_logits, label_ed, label_es, ed_idx, es_idx)
+    total = ota + sgs + ots + edes
+    aux = {
+        "ota": ota, "sgs": sgs, "ots": ots, "edes_bce": edes,
+        "ed_logits": ed_logits, "es_logits": es_logits,
+    }
+    return total, aux
+
+
 def edes_supervised_loss(seg_logits, label_ed, label_es, ed_idx, es_idx):
     """Supervised BCE at the clinically labeled ED/ES frames
     (train_test.py:65-88). Returns the averaged loss and the gathered
