@@ -427,7 +427,18 @@ def _run_child(args, budget_sec: float):
     try:
         proc = subprocess.run(cmd, timeout=budget_sec + 90,
                               stdout=subprocess.PIPE)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # The child watchdog prints its partial JSON before os._exit, but a
+        # device-blocked thread in uninterruptible I/O (the tunnel-wedge
+        # mode) can stall teardown past the kill timeout — salvage whatever
+        # the child already printed instead of dropping the capture.
+        text = (e.stdout or b"")
+        if isinstance(text, bytes):
+            text = text.decode("utf-8", "replace")
+        line = _extract_json_line(text)
+        if line is not None:
+            return line, line.get(
+                "partial_reason", "child timeout after partial output")
         return None, "child timeout (tunnel wedge survived the watchdog)"
     line = _extract_json_line(proc.stdout.decode("utf-8", "replace"))
     if line is None:
@@ -452,6 +463,12 @@ def _parent_main(args):
             continue
         # Cap one attempt well above the healthy runtime (~8-12 min) but
         # below "burns the whole budget": a mid-run wedge leaves retry room.
+        # Recompute the remaining window AFTER the probe — a slow-but-
+        # successful probe (up to 180 s) would otherwise let the child
+        # budget overrun the deadline the driver holds us to.
+        remaining = t_end - time.time()
+        if remaining < 120:
+            break
         budget = min(remaining - 60, args.attempt_budget)
         result, reason = _run_child(args, budget)
         if result is not None and not result.get("partial"):

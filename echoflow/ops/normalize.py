@@ -35,22 +35,21 @@ def zeroone_normalizer(image_data: np.ndarray) -> np.ndarray:
     contract: it returns a NEW float32 array via the native C++ single-pass
     path when `echoflow.native` is built (measured 3.4x faster than
     numpy's convert-then-reduce on this host: 2.5 ms vs 8.6 ms for a
-    (3,176,112,112) video), with a numpy fallback that is bit-identical.
-    Float input keeps the reference's in-place numpy path — measured
-    FASTER than the native loop for f32 (9.5 ms vs 14.1 ms: numpy's SIMD
-    reductions win once the data is already float), so native is
-    deliberately NOT used there.
+    (3,176,112,112) video); `zeroone_normalize_native` itself falls back
+    to a bit-identical numpy path when the .so is absent. Float input
+    keeps the reference's in-place numpy path — measured FASTER than the
+    native loop for f32 (9.5 ms vs 14.1 ms: numpy's SIMD reductions win
+    once the data is already float), so native is deliberately NOT used
+    there. Read-only float input (e.g. numpy views of jax arrays) is
+    copied first instead of crashing the in-place ops.
     """
     if image_data.dtype == np.uint8:
         from echoflow import native
 
-        if native.available():
-            return native.zeroone_normalize_native(image_data)
-        flat = image_data.reshape(image_data.shape[0], -1).astype(np.float32)
-        flat -= np.min(flat, axis=1).reshape(-1, 1)
-        flat /= np.max(flat, axis=1).reshape(-1, 1)
-        return flat.reshape(image_data.shape)
+        return native.zeroone_normalize_native(image_data)
     norm = image_data
+    if not norm.flags.writeable:
+        norm = norm.copy()
     shape = norm.shape
     norm = norm.reshape(3, -1)
     norm -= np.min(norm, axis=1).reshape(3, 1)

@@ -146,8 +146,15 @@ def test_parent_keeps_most_complete_partial_across_attempts(
 
 def test_parent_respects_deadline_headroom(fake_time, monkeypatch, capsys):
     """The attempt budget must leave the parent room to emit: no child call
-    may be given a budget that runs past the deadline."""
-    monkeypatch.setattr(bench, "_probe_backend", lambda timeout_sec: True)
+    may be given a budget that runs past the deadline — even when the probe
+    itself eats wall time (a slow-but-successful probe must not let a stale
+    `remaining` size the child budget)."""
+
+    def slow_probe(timeout_sec):
+        fake_time.sleep(170)  # near the 180 s probe timeout, but successful
+        return True
+
+    monkeypatch.setattr(bench, "_probe_backend", slow_probe)
     budgets = []
 
     def fake_child(args, budget):
@@ -163,3 +170,34 @@ def test_parent_respects_deadline_headroom(fake_time, monkeypatch, capsys):
     for start, budget in budgets:
         assert start + budget <= t0 + deadline, (
             "child budget overruns the parent deadline")
+
+
+def test_run_child_salvages_partial_json_on_timeout(monkeypatch):
+    """A wedge that outlives the kill timeout raises TimeoutExpired AFTER
+    the child watchdog printed its partial JSON; the parent must salvage
+    that output rather than drop the capture (round-3 loss mode)."""
+    import subprocess
+
+    salvaged = (b"chatter\n"
+                b'{"value": 777.0, "partial": true, '
+                b'"partial_reason": "watchdog"}\n')
+
+    def fake_run(cmd, timeout, stdout):
+        raise subprocess.TimeoutExpired(cmd, timeout, output=salvaged)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    line, reason = bench._run_child(_args(), budget_sec=600.0)
+    assert line is not None and line["value"] == 777.0
+    assert reason == "watchdog"
+
+
+def test_run_child_reports_timeout_when_no_output(monkeypatch):
+    import subprocess
+
+    def fake_run(cmd, timeout, stdout):
+        raise subprocess.TimeoutExpired(cmd, timeout, output=b"")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    line, reason = bench._run_child(_args(), budget_sec=600.0)
+    assert line is None
+    assert "timeout" in reason
