@@ -95,6 +95,31 @@ def read_video_rgb(path: str):
     return np.stack(frames)
 
 
+def load_and_preprocess_video(path: str, height: int = 112, width: int = 112):
+    """Decode + preprocess exactly as the reference CLI does (reference
+    motion_segment.py:80-106): RGB decode -> (3, F, H, W) -> trilinear
+    spatial resize to the model size (align_corners=True) when needed ->
+    per-channel [0,1] normalization. Returns (3, F, height, width) float32.
+
+    Already-model-sized videos stay uint8 into the normalizer, which takes
+    the native single-pass u8 path when built — no separate astype(float32)
+    sweep over the video.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from echoflow.ops.normalize import zeroone_normalizer
+    from echoflow.ops.resize import trilinear_resize
+
+    raw = read_video_rgb(path)  # (F, H, W, 3) uint8
+    video = np.ascontiguousarray(raw.transpose(3, 0, 1, 2))  # (3, F, H, W) u8
+    if video.shape[2:] != (height, width):
+        video = np.asarray(trilinear_resize(
+            jnp.asarray(video, jnp.float32)[None],
+            (video.shape[1], height, width), align_corners=True))[0]
+    return zeroone_normalizer(video)
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.device.lower() == "cpu":
@@ -107,7 +132,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
-    import jax.numpy as jnp
 
     from echoflow.utils.cache import enable_persistent_cache
 
@@ -116,8 +140,6 @@ def main(argv=None):
     from echoflow.infer.ef import compute_ef_using_putative_clips
     from echoflow.infer.pipeline import VideoSegmenter
     from echoflow.models.r2plus1d import R2Plus1DMotionSegNet, init_variables, param_count
-    from echoflow.ops.normalize import zeroone_normalizer
-    from echoflow.ops.resize import trilinear_resize
     from echoflow.train.checkpoint import load_model_variables
 
     if os.path.exists(args.model):
@@ -135,19 +157,7 @@ def main(argv=None):
         n_params = param_count({"params": variables["params"]})
         print(f"R2+1D MotionNet has {n_params} parameters.")
 
-    raw = read_video_rgb(args.path)  # (F, H, W, 3) uint8
-    video = np.ascontiguousarray(raw.transpose(3, 0, 1, 2))  # (3, F, H, W) u8
-
-    # Spatial resize to the model size (trilinear, align_corners=True —
-    # reference motion_segment.py:100-104), then [0,1] per-channel norm.
-    # Already-model-sized videos (the standard EchoNet 112x112 case) stay
-    # uint8 into the normalizer, which takes the native single-pass u8
-    # path when built — no separate astype(float32) sweep over the video.
-    if video.shape[2:] != (args.height, args.width):
-        video = np.asarray(trilinear_resize(
-            jnp.asarray(video, jnp.float32)[None],
-            (video.shape[1], args.height, args.width), align_corners=True))[0]
-    video = zeroone_normalizer(video)
+    video = load_and_preprocess_video(args.path, args.height, args.width)
 
     segmenter = VideoSegmenter(variables, **precision_policy(args.precision))
     segmentations = segmenter.segment_video(

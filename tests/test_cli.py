@@ -96,3 +96,24 @@ def test_cli_precision_flag_maps_to_engine_policy():
     assert motion_segment.precision_policy("bf16") == {"dtype": jnp.bfloat16}
     # "auto" is the engine's own default policy.
     assert VideoSegmenter.__dataclass_fields__["dtype"].default == "auto"
+
+
+def test_cli_preprocess_resizes_and_normalizes_non_model_sized_video(tmp_path):
+    """The CLI preprocessing chain (decode -> transpose -> trilinear resize
+    align_corners=True -> zeroone normalize) on a non-112x112 input —
+    regression for the read-only-array crash on exactly this path."""
+    avi = str(tmp_path / "echo160.avi")
+    write_synthetic_avi(avi, num_frames=12, height=160, width=160)
+    video = motion_segment.load_and_preprocess_video(avi, 112, 112)
+    assert video.shape == (3, 12, 112, 112)
+    assert video.dtype == np.float32
+    for c in range(3):
+        assert float(video[c].min()) == 0.0 and float(video[c].max()) == 1.0
+
+
+def test_cli_preprocess_keeps_model_sized_video_unresized(tmp_path):
+    avi = str(tmp_path / "echo112.avi")
+    write_synthetic_avi(avi, num_frames=8, height=112, width=112)
+    video = motion_segment.load_and_preprocess_video(avi)
+    assert video.shape == (3, 8, 112, 112)
+    assert video.dtype == np.float32
