@@ -130,7 +130,12 @@ def make_train_bench_fixture(batch_size: int = 4, fused_ota: bool = False):
                       batch_size=batch_size)
     model, state, tx = create_train_state(
         jax.random.PRNGKey(0), cfg, input_shape=(1, 3, 32, 112, 112))
-    step = make_train_step(model, tx, fused_ota=fused_ota)
+    steps = {}
+
+    def _step(fused: bool):
+        if fused not in steps:
+            steps[fused] = make_train_step(model, tx, fused_ota=fused)
+        return steps[fused]
 
     n = batch_size
     rng = np.random.RandomState(0)
@@ -144,8 +149,15 @@ def make_train_bench_fixture(batch_size: int = 4, fused_ota: bool = False):
 
     compiled = {}
 
-    def chained_steps(state, batch, n_steps):
-        if n_steps not in compiled:
+    def chained_steps(state, batch, n_steps, fused: bool = fused_ota):
+        """Run `n_steps` steps in one dispatch. `fused` selects the loss
+        schedule per call so both can be measured from the SAME state/batch
+        (the profiler's apples-to-apples comparison) without re-initing a
+        second fixture."""
+        key = (n_steps, fused)
+        if key not in compiled:
+            step = _step(fused)
+
             @jax.jit
             def steps(state, batch):
                 def body(carry, _):
@@ -154,13 +166,13 @@ def make_train_bench_fixture(batch_size: int = 4, fused_ota: bool = False):
 
                 return jax.lax.scan(body, state, None, length=n_steps)[1]
 
-            compiled[n_steps] = steps
-        return compiled[n_steps](state, batch)
+            compiled[key] = steps
+        return compiled[key](state, batch)
 
     import types
 
     return types.SimpleNamespace(model=model, state=state, batch=batch,
-                                 chained_steps=chained_steps)
+                                 tx=tx, chained_steps=chained_steps)
 
 
 def _train_step_ms(n_steps: int = 8):
@@ -333,6 +345,18 @@ def main(args):
     print(json.dumps(result))
 
 
+def _metric_fields(train: bool) -> dict:
+    """The metric/unit identifying this run's headline measurement — train
+    and inference rounds must label even their crash/partial payloads
+    correctly or the driver files the artifact under the wrong metric."""
+    if train:
+        return {"metric": "CLAS-FV train step (batch 4, 32x112x112)",
+                "unit": "ms/step"}
+    return {"metric": "full-video 5-shift SIMPLE-fusion segmentation"
+                      " + EF throughput",
+            "unit": "frames/sec"}
+
+
 def _child_main(args):
     """A hard tunnel outage surfaces as an exception (e.g. `UNAVAILABLE:
     TPU backend setup/compile error` at init, observed live) rather than a
@@ -345,9 +369,8 @@ def _child_main(args):
 
         traceback.print_exc(file=sys.stderr)
         print(json.dumps({
-            "metric": "full-video 5-shift SIMPLE-fusion segmentation + EF throughput",
+            **_metric_fields(args.train),
             "value": None,
-            "unit": "frames/sec",
             "vs_baseline": None,
             "partial": True,
             "partial_reason": f"crashed: {type(e).__name__}: {str(e)[:200]}",
@@ -366,22 +389,57 @@ _PROBE_SRC = (
 )
 
 
+def _run_bounded(cmd, timeout_sec: float, stderr=None):
+    """Run `cmd` with stdout to a TEMP FILE (never a pipe) and a hard bound
+    on how long the PARENT can block: wait(timeout) -> kill() -> short
+    grace wait -> ABANDON. A child whose threads sit in uninterruptible
+    device I/O (the tunnel-wedge mode) does not die on SIGKILL until the
+    wedge clears; `subprocess.run(timeout=...)`'s TimeoutExpired handler
+    calls communicate() with NO timeout and would hang the parent on
+    exactly that child — the failure mode this bench exists to survive.
+    File-backed stdout means whatever the child printed is readable
+    without ever joining it. Returns (returncode_or_None, stdout_text);
+    returncode is None if the child had to be abandoned."""
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(mode="w+", suffix=".bench-child",
+                                     delete=False) as out:
+        path = out.name
+        proc = subprocess.Popen(cmd, stdout=out, stderr=stderr)
+    rc = None
+    try:
+        rc = proc.wait(timeout=timeout_sec)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            rc = proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            pass  # wedged in uninterruptible I/O: abandon, don't block
+    try:
+        with open(path, "r", errors="replace") as f:
+            text = f.read()
+    finally:
+        try:
+            os.unlink(path)  # works on Linux even while the child holds it
+        except OSError:
+            pass
+    return rc, text
+
+
 def _probe_backend(timeout_sec: float = 180.0) -> bool:
     """True iff a fresh subprocess can init the default backend AND run a
     real matmul within `timeout_sec`. Cheap to fail: a wedged tunnel hangs
-    the child, the timeout kills it, and the parent has only lost
-    `timeout_sec` — not the ~25 min an in-process init spends before
+    the child, the timeout kills (or abandons) it, and the parent has only
+    lost `timeout_sec` — not the ~25 min an in-process init spends before
     raising UNAVAILABLE."""
     import subprocess
     import sys
 
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", _PROBE_SRC], timeout=timeout_sec,
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
-        return out.returncode == 0 and b"PROBE_OK" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    rc, text = _run_bounded([sys.executable, "-c", _PROBE_SRC], timeout_sec,
+                            stderr=subprocess.DEVNULL)
+    return rc == 0 and "PROBE_OK" in text
 
 
 def _extract_json_line(stdout_text: str):
@@ -414,8 +472,10 @@ def _more_complete(a, b):
 def _run_child(args, budget_sec: float):
     """One measurement attempt in a fresh process. Returns (json_or_None,
     reason_str). The child gets a watchdog `--deadline` inside our budget
-    and a kill-timeout slightly above it, so a wedge can't run away."""
-    import subprocess
+    and a kill-timeout slightly above it, so a wedge can't run away — and
+    `_run_bounded`'s file-backed stdout + abandon-on-unkillable means even
+    a child stuck in uninterruptible device I/O can't block the parent,
+    while whatever partial JSON it already printed is still salvaged."""
     import sys
 
     cmd = [sys.executable, __file__, "--child",
@@ -424,25 +484,15 @@ def _run_child(args, budget_sec: float):
         cmd.append("--train")
     if args.no_train:
         cmd.append("--no-train")
-    try:
-        proc = subprocess.run(cmd, timeout=budget_sec + 90,
-                              stdout=subprocess.PIPE)
-    except subprocess.TimeoutExpired as e:
-        # The child watchdog prints its partial JSON before os._exit, but a
-        # device-blocked thread in uninterruptible I/O (the tunnel-wedge
-        # mode) can stall teardown past the kill timeout — salvage whatever
-        # the child already printed instead of dropping the capture.
-        text = (e.stdout or b"")
-        if isinstance(text, bytes):
-            text = text.decode("utf-8", "replace")
-        line = _extract_json_line(text)
-        if line is not None:
-            return line, line.get(
-                "partial_reason", "child timeout after partial output")
-        return None, "child timeout (tunnel wedge survived the watchdog)"
-    line = _extract_json_line(proc.stdout.decode("utf-8", "replace"))
+    rc, text = _run_bounded(cmd, budget_sec + 90)
+    line = _extract_json_line(text)
     if line is None:
-        return None, f"child exited rc={proc.returncode} with no JSON line"
+        if rc is None:
+            return None, "child timeout (tunnel wedge survived the watchdog)"
+        return None, f"child exited rc={rc} with no JSON line"
+    if rc is None:
+        return line, line.get(
+            "partial_reason", "child timeout after partial output")
     return line, line.get("partial_reason", "")
 
 
@@ -476,11 +526,7 @@ def _parent_main(args):
             return 0
         if result is None:
             result = {
-                "metric": ("CLAS-FV train step (batch 4, 32x112x112)"
-                           if args.train else
-                           "full-video 5-shift SIMPLE-fusion segmentation"
-                           " + EF throughput"),
-                "unit": "ms/step" if args.train else "frames/sec",
+                **_metric_fields(args.train),
                 "value": None, "vs_baseline": None,
                 "partial": True, "partial_reason": reason,
             }
@@ -492,8 +538,8 @@ def _parent_main(args):
         time.sleep(min(60.0, max(0.0, t_end - time.time() - 90)))
     if best is None:
         best = {
-            "metric": "full-video 5-shift SIMPLE-fusion segmentation + EF throughput",
-            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            **_metric_fields(args.train),
+            "value": None, "vs_baseline": None,
             "partial": True,
             "partial_reason": "no attempt completed: backend unavailable "
                               "for the whole deadline window",

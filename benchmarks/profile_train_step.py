@@ -158,13 +158,13 @@ def main():
     results["loss_grad_fused_ms"] = _timed(
         chain_grad(loss_fused_on), seg0, mot0) / chain * 1000
 
-    fx_fused = make_train_bench_fixture(batch_size=n, fused_ota=True)
-
     def full_fused(state, batch):
-        return fx_fused.chained_steps(state, batch, chain)
+        # SAME state/batch as full_ms — only the loss schedule differs, so
+        # the comparison is apples-to-apples (and skips a duplicate
+        # full-model init on this compile-bound 1-core host).
+        return fx.chained_steps(state, batch, chain, fused=True)
 
-    results["full_fused_ms"] = _timed(full_fused, fx_fused.state,
-                                      fx_fused.batch) / chain * 1000
+    results["full_fused_ms"] = _timed(full_fused, state, batch) / chain * 1000
 
     results = {k: round(v, 1) for k, v in results.items()}
     results["unexplained_ms"] = round(

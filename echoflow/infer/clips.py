@@ -46,6 +46,11 @@ class ClipForward:
     _compiled: dict = field(default_factory=dict, init=False, repr=False)
 
     def __post_init__(self):
+        import threading
+
+        # Once-guard lock for _compiled (same discipline as VideoSegmenter:
+        # concurrent first calls for one shape share a single compile).
+        self._lock = threading.Lock()
         if self.fold_bn:
             # Variables without batch_stats are taken as already folded
             # (same convention as VideoSegmenter).
@@ -60,8 +65,12 @@ class ClipForward:
 
     def _graph(self, n_chunks: int, chunk: int, h: int, w: int):
         key = (n_chunks, chunk, h, w)
-        if key in self._compiled:
-            return self._compiled[key]
+        from echoflow.utils.concurrency import get_or_build
+
+        return get_or_build(self._compiled, self._lock, key,
+                            lambda: self._build_graph(n_chunks, chunk, h, w))
+
+    def _build_graph(self, n_chunks: int, chunk: int, h: int, w: int):
         model = self._model
         with_motion = self.with_motion
         folded = self.fold_bn
@@ -86,7 +95,6 @@ class ClipForward:
             out = jax.lax.map(fwd, clips)
             return tuple(o.reshape(-1, *o.shape[2:]) for o in out)
 
-        self._compiled[key] = run
         return run
 
     def __call__(self, clips: np.ndarray):

@@ -244,33 +244,16 @@ class VideoSegmenter:
 
     # ---------------------------------------------------------------- graph
     def _graph(self, t_pad: int, k_num: int, fuse_method: str):
-        """Per-key once-guard: the first caller for a (t_pad, k_num, fuse)
-        key installs a Future under the lock and builds outside it; a
-        concurrent second caller blocks on that Future instead of running a
-        duplicate XLA trace/compile (expensive on this 1-core host). A
-        failed build evicts the Future so the key can be retried."""
-        import concurrent.futures
+        """Per-key once-guard (utils/concurrency.get_or_build): the first
+        caller for a (t_pad, k_num, fuse) key builds; a concurrent second
+        caller blocks on its Future instead of running a duplicate XLA
+        trace/compile (expensive on this 1-core host)."""
+        from echoflow.utils.concurrency import get_or_build
 
         key = (t_pad, k_num, fuse_method)
-        with self._cache_lock:
-            fut = self._compiled.get(key)
-            if fut is None:
-                fut = concurrent.futures.Future()
-                self._compiled[key] = fut
-                builder = True
-            else:
-                builder = False
-        if not builder:
-            return fut.result()
-        try:
-            run = self._build_graph(t_pad, k_num, fuse_method)
-        except BaseException as e:
-            with self._cache_lock:
-                self._compiled.pop(key, None)
-            fut.set_exception(e)
-            raise
-        fut.set_result(run)
-        return run
+        return get_or_build(
+            self._compiled, self._cache_lock, key,
+            lambda: self._build_graph(t_pad, k_num, fuse_method))
 
     def _build_graph(self, t_pad: int, k_num: int, fuse_method: str):
         c_max = t_pad // CLIP_LEN
@@ -379,38 +362,21 @@ class VideoSegmenter:
         # a production stream of many distinct lengths would otherwise pin
         # a few MB of HBM per length forever.
         okey = (length, num_clips, step, t_pad)
-        # Same once-guard as _graph: concurrent first calls for one length
-        # share one host-operand build + device transfer instead of
-        # duplicating it. A pending Future can be LRU-evicted safely — the
-        # builder still resolves it and every waiter holds its own ref.
-        import concurrent.futures
+        # Same once-guard as _graph (utils/concurrency.get_or_build):
+        # concurrent first calls for one length share one host-operand
+        # build + device transfer instead of duplicating it.
+        from echoflow.utils.concurrency import get_or_build
 
-        with self._cache_lock:
-            fut = self._operand_cache.get(okey)
-            if fut is not None:
-                self._operand_cache.move_to_end(okey)
-                builder = False
-            else:
-                fut = concurrent.futures.Future()
-                self._operand_cache[okey] = fut
-                while len(self._operand_cache) > self.operand_cache_size:
-                    self._operand_cache.popitem(last=False)
-                builder = True
-        if builder:
-            try:
-                ops = _build_host_operands(length, num_clips, step, t_pad)
-                k_num = ops["k_num"]
-                dev_ops = tuple(
-                    jnp.asarray(ops[k])
-                    for k in ("fwd", "bwd", "gather_idx", "valid"))
-            except BaseException as e:
-                with self._cache_lock:
-                    self._operand_cache.pop(okey, None)
-                fut.set_exception(e)
-                raise
-            fut.set_result((k_num, dev_ops))
-        else:
-            k_num, dev_ops = fut.result()
+        def _build_operands():
+            ops = _build_host_operands(length, num_clips, step, t_pad)
+            dev_ops = tuple(
+                jnp.asarray(ops[k])
+                for k in ("fwd", "bwd", "gather_idx", "valid"))
+            return ops["k_num"], dev_ops
+
+        k_num, dev_ops = get_or_build(
+            self._operand_cache, self._cache_lock, okey, _build_operands,
+            lru_cap=self.operand_cache_size)
 
         video = np.asarray(video)
         dtype = np.uint8 if video.dtype == np.uint8 else np.float32

@@ -6,8 +6,11 @@
 // semantics), fused single-pass for uint8 decoder output — implemented
 // with a std::thread pool and exposed through a C ABI consumed via ctypes
 // (echoflow/native/__init__.py). It is wired into the production host path
-// via ops/normalize.zeroone_normalizer (uint8 inputs), which the CLI and
-// dataset staging call; a numpy fallback keeps everything working when the
+// via ops/normalize.zeroone_normalizer (uint8 inputs), which the CLI calls
+// on already-model-sized decoder output; the engine path instead ships raw
+// uint8 to the device and normalizes inside the jit graph, and the dataset
+// z-normalizes to float first (numpy wins once data is already float).
+// A numpy fallback keeps everything working when the
 // shared library is not built. A clip-window extraction kernel was
 // measured a wash against numpy's memcpy-bound slicing on this host and
 // removed.

@@ -258,7 +258,8 @@ def prefetch_to_device(batch_iterator, sharding, depth: int = 2):
 
 def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
                 log_every: int = 50, log_fn=print, metrics_logger=None,
-                prefetch_depth: int = 2, step_factory=None):
+                prefetch_depth: int = 2, step_factory=None,
+                donate: bool = True):
     """Simple epoch runner over iterables of host batches, DP over `mesh`.
 
     train_batches / eval_batches: iterables yielding dicts of arrays whose
@@ -266,6 +267,14 @@ def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
     f32, ed_label/es_label (N,H,W) int, ed_idx/es_idx (N,)). `step_factory`
     selects the recipe's train step (default `make_train_step`; pass
     `make_ed_es_only_train_step` for the two-clip recipe).
+
+    With `donate=True` (default) this CONSUMES `state`: the step donates
+    its input buffers, and if the caller's pytree is already device-resident
+    with the replicated sharding the entry `device_put` is a no-op, so the
+    caller's own Arrays are invalidated by the first step ("Array has been
+    deleted" on any later use). Use the *returned* state; pass
+    `donate=False` to keep the passed-in state alive (costs a fresh ~380 MB
+    HBM allocation + copy of the state pytree every step).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -277,7 +286,7 @@ def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
     train_step = jax.jit(
         (step_factory or make_train_step)(model, tx),
         in_shardings=(rsh, bsh), out_shardings=(rsh, rsh),
-        donate_argnums=(0,))
+        donate_argnums=(0,) if donate else ())
     state = jax.device_put(state, rsh)
 
     history = []

@@ -173,31 +173,105 @@ def test_parent_respects_deadline_headroom(fake_time, monkeypatch, capsys):
 
 
 def test_run_child_salvages_partial_json_on_timeout(monkeypatch):
-    """A wedge that outlives the kill timeout raises TimeoutExpired AFTER
-    the child watchdog printed its partial JSON; the parent must salvage
-    that output rather than drop the capture (round-3 loss mode)."""
-    import subprocess
-
-    salvaged = (b"chatter\n"
-                b'{"value": 777.0, "partial": true, '
-                b'"partial_reason": "watchdog"}\n')
-
-    def fake_run(cmd, timeout, stdout):
-        raise subprocess.TimeoutExpired(cmd, timeout, output=salvaged)
-
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    """A wedge that outlives the kill timeout (rc=None: child abandoned)
+    must still salvage the partial JSON the child watchdog printed before
+    wedging, rather than drop the capture (round-3 loss mode)."""
+    salvaged = ("chatter\n"
+                '{"value": 777.0, "partial": true, '
+                '"partial_reason": "watchdog"}\n')
+    monkeypatch.setattr(bench, "_run_bounded",
+                        lambda cmd, timeout_sec, stderr=None: (None, salvaged))
     line, reason = bench._run_child(_args(), budget_sec=600.0)
     assert line is not None and line["value"] == 777.0
     assert reason == "watchdog"
 
 
 def test_run_child_reports_timeout_when_no_output(monkeypatch):
-    import subprocess
-
-    def fake_run(cmd, timeout, stdout):
-        raise subprocess.TimeoutExpired(cmd, timeout, output=b"")
-
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_run_bounded",
+                        lambda cmd, timeout_sec, stderr=None: (None, ""))
     line, reason = bench._run_child(_args(), budget_sec=600.0)
     assert line is None
     assert "timeout" in reason
+
+
+def test_run_bounded_kills_hung_child_and_keeps_output():
+    """Real-subprocess check: a child that prints then hangs is killed at
+    the timeout, the parent does NOT block past it, and the already-printed
+    stdout is returned (file-backed stdout, never a pipe)."""
+    import sys
+    import time as real_time
+
+    t0 = real_time.monotonic()
+    rc, text = bench._run_bounded(
+        [sys.executable, "-u", "-c",
+         'print(\'{"value": 5}\'); import time; time.sleep(600)'],
+        timeout_sec=2.0)
+    assert real_time.monotonic() - t0 < 30
+    assert rc != 0  # killed (or, if truly unkillable, abandoned with None)
+    assert bench._extract_json_line(text) == {"value": 5}
+
+
+def test_run_bounded_abandons_unkillable_child(monkeypatch):
+    """A child in uninterruptible device I/O survives SIGKILL until the
+    wedge clears; the parent must abandon it (rc=None) after the grace
+    wait instead of blocking — the communicate()-with-no-timeout hang was
+    exactly the mode that could lose a round past the driver's window."""
+    import subprocess
+
+    class _WedgedProc:
+        def __init__(self, cmd, stdout=None, stderr=None):
+            stdout.write('{"value": null, "partial": true}\n')
+
+        def wait(self, timeout=None):
+            raise subprocess.TimeoutExpired("cmd", timeout)
+
+        def kill(self):
+            pass
+
+    monkeypatch.setattr(subprocess, "Popen", _WedgedProc)
+    rc, text = bench._run_bounded(["whatever"], timeout_sec=0.01)
+    assert rc is None
+    assert bench._extract_json_line(text) == {"value": None, "partial": True}
+
+
+def test_crash_payloads_carry_train_metric(monkeypatch, capsys, fake_time):
+    """--train runs must label crash/no-attempt partials with the train
+    metric/unit, not the inference ones, or the driver files the artifact
+    under the wrong metric."""
+    fields = bench._metric_fields(True)
+    assert fields["unit"] == "ms/step" and "train step" in fields["metric"]
+
+    # Parent no-attempt fallback in --train mode.
+    monkeypatch.setattr(bench, "_probe_backend", lambda timeout_sec: False)
+    rc = bench._parent_main(_args(train=True, deadline=400.0))
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert line["unit"] == "ms/step"
+    assert "train step" in line["metric"]
+
+    # Child crash payload in --train mode.
+    def boom(args):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(bench, "main", boom)
+    with pytest.raises(SystemExit):
+        bench._child_main(_args(train=True))
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["unit"] == "ms/step"
+    assert "train step" in line["metric"]
+    assert line["partial"] is True
+
+
+@pytest.mark.slow
+def test_train_bench_fixture_runs_both_schedules_from_one_state():
+    """make_train_bench_fixture's chained_steps must run the unfused AND
+    fused loss schedules from the SAME state/batch (the profiler compares
+    them apples-to-apples without re-initing a second fixture), producing
+    close per-step losses (identical math up to fp summation order)."""
+    import numpy as np
+
+    fx = bench.make_train_bench_fixture(batch_size=1)
+    unfused = np.asarray(fx.chained_steps(fx.state, fx.batch, 1))
+    fused = np.asarray(fx.chained_steps(fx.state, fx.batch, 1, fused=True))
+    assert unfused.shape == fused.shape == (1,)
+    np.testing.assert_allclose(unfused, fused, rtol=2e-4)

@@ -57,9 +57,14 @@ def test_zeroone_normalizer_uses_native_for_uint8(rng, monkeypatch):
 
 def test_zeroone_normalizer_uint8_fallback_matches_native(rng, monkeypatch):
     """Without the .so the uint8 path falls back to numpy with identical
-    output (so behavior never depends on whether the lib is built)."""
+    output (so behavior never depends on whether the lib is built).
+
+    Patches `_load` (what `zeroone_normalize_native` actually consults),
+    not `available` — patching only `available` leaves the cached lib in
+    place and both runs would execute the C++ kernel, never the fallback."""
     video = (rng.rand(3, 6, 8, 8) * 255).astype(np.uint8)
     with_native = zeroone_normalizer(video)
-    monkeypatch.setattr(native, "available", lambda: False)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    assert not native.available()  # the patch really disables the lib
     without = zeroone_normalizer(video)
     np.testing.assert_array_equal(with_native, without)
