@@ -198,13 +198,13 @@ def test_train_clasfv_writes_last_checkpoint_and_restores_best_val(tmp_path):
     import train_clasfv
     from echoflow.train.checkpoint import load_checkpoint
 
-    # Checkpoint semantics don't depend on model scale: clip 8 keeps the
-    # warp-scan graphs small (this test compiles the train step twice on a
-    # 1-core host; at clip 32 it alone took 8 min). Batch stays 8 so the
-    # examples shard evenly over the 8-device virtual mesh.
+    # Checkpoint semantics don't depend on model scale: clip 8 / image 24
+    # keep the warp-scan graphs small (this test compiles the train step
+    # twice on a 1-core host; at clip 32 / image 112 it alone took 8 min).
+    # Batch stays 8 so the examples shard evenly over the 8-device mesh.
     out = str(tmp_path / "ckpt.pkl")
     train_clasfv.main(["--synthetic", "--epochs", "1", "--steps", "2",
-                       "--batch-size", "8", "--image-size", "32",
+                       "--batch-size", "8", "--image-size", "24",
                        "--clip-length", "8", "--out", out])
     # Best and last checkpoints both exist; last carries the epoch.
     _, extra_best = load_checkpoint(out)
@@ -213,7 +213,7 @@ def test_train_clasfv_writes_last_checkpoint_and_restores_best_val(tmp_path):
     # Resume restores the best-val watermark (a worse second run must not
     # clobber the best checkpoint): run one more epoch resuming.
     train_clasfv.main(["--synthetic", "--epochs", "2", "--steps", "2",
-                       "--batch-size", "8", "--image-size", "32",
+                       "--batch-size", "8", "--image-size", "24",
                        "--clip-length", "8", "--out", out,
                        "--resume", out])
     _, extra2 = load_checkpoint(out)

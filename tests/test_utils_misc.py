@@ -38,3 +38,20 @@ def test_host_shard_indices():
     assert list(slices[2]) == [8, 9]
     # more hosts than items: trailing hosts get empty ranges
     assert list(host_shard_indices(2, 3, 4)) == []
+
+
+def test_top_level_contract_api_reexports():
+    """SURVEY.md §7.4 contract: the reference's library surface is importable
+    from the top-level package (lazy re-exports in echoflow/__init__.py)."""
+    import echoflow
+
+    for name in ("segment_a_video_with_fusion", "divide_to_consecutive_clips",
+                 "compute_ef_using_putative_clips", "EDESpairs", "get2dPucks",
+                 "computeSimpsonVolume", "zeroone_normalizer",
+                 "VideoSegmenter"):
+        assert callable(getattr(echoflow, name)), name
+    try:
+        echoflow.definitely_not_an_api
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass

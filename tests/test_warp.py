@@ -72,16 +72,19 @@ def test_warp_gradients_match_torch(rng):
 def test_warp_randomized_parity_sweep(rng):
     """Randomized fuzz vs the torch oracle: odd shapes, huge offsets
     (border-clamp saturation), tiny images, forward AND gradient parity.
-    Seeded, 10 cases — slow profile (each distinct shape is a fresh CPU
-    compile)."""
-    cases = []
-    for k in range(10):
-        n = int(rng.randint(1, 4))
-        c = int(rng.randint(1, 5))
-        h = int(rng.randint(2, 41))
-        w = int(rng.randint(2, 41))
-        scale = float(rng.choice([0.01, 0.3, 1.0, 4.0]))  # 4.0: fully clamped
-        cases.append((n, c, h, w, scale))
+    Image/offset CONTENT is random (seeded); the shape/scale grid is fixed
+    to 6 cases chosen to cover every class — tiny, odd, and rectangular
+    shapes crossed with all four offset scales (4.0 = fully clamped) —
+    because each distinct shape is a fresh ~12 s CPU compile and a random
+    10-case draw spent half its budget on redundant mid-size shapes."""
+    cases = [
+        (1, 1, 2, 3, 4.0),    # tiniest image, fully clamped
+        (2, 4, 7, 5, 0.01),   # odd small, near-zero offsets
+        (3, 2, 40, 33, 1.0),  # largest, batch 3, full-range offsets
+        (1, 3, 17, 29, 0.3),  # odd rectangular, moderate offsets
+        (2, 1, 5, 38, 4.0),   # extreme aspect ratio, fully clamped
+        (1, 2, 23, 11, 1.0),  # odd rectangular, full-range offsets
+    ]
 
     for n, c, h, w, scale in cases:
         img = rng.randn(n, c, h, w).astype(np.float32)
