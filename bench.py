@@ -469,13 +469,17 @@ def _more_complete(a, b):
     return a if len(a) >= len(b) else b
 
 
-def _run_child(args, budget_sec: float):
+def _run_child(args, budget_sec: float, wait_sec: float | None = None):
     """One measurement attempt in a fresh process. Returns (json_or_None,
     reason_str). The child gets a watchdog `--deadline` inside our budget
     and a kill-timeout slightly above it, so a wedge can't run away — and
     `_run_bounded`'s file-backed stdout + abandon-on-unkillable means even
     a child stuck in uninterruptible device I/O can't block the parent,
-    while whatever partial JSON it already printed is still salvaged."""
+    while whatever partial JSON it already printed is still salvaged.
+    `wait_sec` bounds how long the PARENT blocks on the child (default
+    budget + 90 s of watchdog-print grace); the parent passes a tighter
+    bound near its own deadline so a child wedged too hard even for its
+    watchdog cannot push the parent's final JSON past `--deadline`."""
     import sys
 
     cmd = [sys.executable, __file__, "--child",
@@ -484,7 +488,8 @@ def _run_child(args, budget_sec: float):
         cmd.append("--train")
     if args.no_train:
         cmd.append("--no-train")
-    rc, text = _run_bounded(cmd, budget_sec + 90)
+    rc, text = _run_bounded(cmd, wait_sec if wait_sec is not None
+                            else budget_sec + 90)
     line = _extract_json_line(text)
     if line is None:
         if rc is None:
@@ -520,7 +525,11 @@ def _parent_main(args):
         if remaining < 120:
             break
         budget = min(remaining - 60, args.attempt_budget)
-        result, reason = _run_child(args, budget)
+        # Parent-side hard wait: watchdog-print grace (+90) capped so even
+        # an unkillable child leaves >=45 s to emit the final JSON before
+        # the driver's deadline (plus _run_bounded's 15 s kill-grace).
+        wait = min(budget + 90, max(60.0, t_end - time.time() - 45))
+        result, reason = _run_child(args, budget, wait_sec=wait)
         if result is not None and not result.get("partial"):
             print(json.dumps(result))
             return 0

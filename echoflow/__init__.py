@@ -23,23 +23,29 @@ __version__ = "0.1.0"
 from echoflow import ops, models, metrics  # noqa: F401
 
 
+_API = {
+    "segment_a_video_with_fusion": "echoflow.infer.pipeline",
+    "divide_to_consecutive_clips": "echoflow.infer.pipeline",
+    "VideoSegmenter": "echoflow.infer.pipeline",
+    "compute_ef_using_putative_clips": "echoflow.infer.ef",
+    "EDESpairs": "echoflow.infer.ef",
+    "get2dPucks": "echoflow.infer.ef",
+    "computeSimpsonVolume": "echoflow.metrics.simpson",
+    "zeroone_normalizer": "echoflow.ops.normalize",
+}
+
+
 def __getattr__(name):
     """Lazily re-export the reference's contractual API at top level
     (SURVEY.md §7.4), so `from echoflow import segment_a_video_with_fusion`
     works for migrating users without importing the heavy inference/train
-    stacks (and their first jax touch) at package-import time."""
-    _API = {
-        "segment_a_video_with_fusion": "echoflow.infer.pipeline",
-        "divide_to_consecutive_clips": "echoflow.infer.pipeline",
-        "VideoSegmenter": "echoflow.infer.pipeline",
-        "compute_ef_using_putative_clips": "echoflow.infer.ef",
-        "EDESpairs": "echoflow.infer.ef",
-        "get2dPucks": "echoflow.infer.ef",
-        "computeSimpsonVolume": "echoflow.metrics.simpson",
-        "zeroone_normalizer": "echoflow.ops.normalize",
-    }
+    stacks (and their first jax touch) at package-import time. The resolved
+    object is cached into module globals, so only the first lookup pays the
+    import (module `__getattr__` results are not memoized by Python)."""
     if name in _API:
         import importlib
 
-        return getattr(importlib.import_module(_API[name]), name)
+        obj = getattr(importlib.import_module(_API[name]), name)
+        globals()[name] = obj
+        return obj
     raise AttributeError(f"module 'echoflow' has no attribute {name!r}")

@@ -35,6 +35,7 @@ resize/gather matrices are runtime inputs.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -233,7 +234,6 @@ class VideoSegmenter:
                 jax.tree.map(jnp.asarray, self.variables), rep)
         else:
             self.variables = jax.tree.map(jnp.asarray, self.variables)
-        import threading
         from collections import OrderedDict
 
         self._compiled = {}
@@ -431,14 +431,41 @@ class VideoSegmenter:
                 yield inflight.popleft().result()
 
 
-def segment_a_video_with_fusion(video, segmenter: VideoSegmenter,
+_SHIM_ENGINES: list = []  # [(variables, VideoSegmenter)] identity-keyed MRU
+_SHIM_ENGINES_LOCK = threading.Lock()
+_SHIM_MAX = 4
+
+
+def _segmenter_for_variables(variables) -> VideoSegmenter:
+    """A fp32 (reference-parity) engine for a raw flax `variables` dict,
+    built once per dict and reused across calls — a fresh engine per call
+    would re-trace/re-compile every video. Identity-keyed: the small MRU
+    holds a strong reference to each variables dict so ids cannot be
+    recycled while an entry lives."""
+    with _SHIM_ENGINES_LOCK:
+        for i, (v, s) in enumerate(_SHIM_ENGINES):
+            if v is variables:
+                _SHIM_ENGINES.append(_SHIM_ENGINES.pop(i))
+                return s
+        seg = VideoSegmenter(variables=variables, dtype=jnp.float32)
+        _SHIM_ENGINES.append((variables, seg))
+        del _SHIM_ENGINES[:-_SHIM_MAX]
+        return seg
+
+
+def segment_a_video_with_fusion(video, segmenter,
                                 interpolate_last: bool = True, step: int = 1,
                                 num_clips: int = 10, fuse_method: str = "simple",
                                 class_list=(0, 1)) -> np.ndarray:
-    """Reference-named alias (fuse_utils.py:36). `interpolate_last` and
-    `class_list` exist for signature parity; the engine always
-    tail-interpolates (the reference EF pipeline always passes True) and the
-    EchoNet task is binary."""
+    """Reference-named alias (fuse_utils.py:36). `segmenter` is a
+    `VideoSegmenter`, or flax `variables` for R2Plus1DMotionSegNet (the
+    slot the reference fills with its torch model) — variables are wrapped
+    in a cached fp32 parity engine. `interpolate_last` and `class_list`
+    exist for signature parity; the engine always tail-interpolates (the
+    reference EF pipeline always passes True) and the EchoNet task is
+    binary."""
     del interpolate_last, class_list
+    if not isinstance(segmenter, VideoSegmenter):
+        segmenter = _segmenter_for_variables(segmenter)
     return segmenter.segment_video(np.asarray(video), num_clips=num_clips,
                                    step=step, fuse_method=fuse_method)

@@ -259,30 +259,32 @@ def prefetch_to_device(batch_iterator, sharding, depth: int = 2):
 def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
                 log_every: int = 50, log_fn=print, metrics_logger=None,
                 prefetch_depth: int = 2, step_factory=None,
-                donate: bool = True):
+                eval_step_factory=None, donate: bool = False):
     """Simple epoch runner over iterables of host batches, DP over `mesh`.
 
     train_batches / eval_batches: iterables yielding dicts of arrays whose
     leading axis is the batch (the default recipe's keys: video (N,3,T,H,W)
     f32, ed_label/es_label (N,H,W) int, ed_idx/es_idx (N,)). `step_factory`
     selects the recipe's train step (default `make_train_step`; pass
-    `make_ed_es_only_train_step` for the two-clip recipe).
+    `make_ed_es_only_train_step` for the two-clip recipe), and
+    `eval_step_factory` the matching eval step (default `make_eval_step`).
+    When `eval_batches` is given, one validation pass runs after the epoch
+    on the final state; its batch-mean metrics are logged and appended to
+    the returned history with an ``eval_`` prefix.
 
-    With `donate=True` (default) this CONSUMES `state`: the step donates
-    its input buffers, and if the caller's pytree is already device-resident
-    with the replicated sharding the entry `device_put` is a no-op, so the
-    caller's own Arrays are invalidated by the first step ("Array has been
-    deleted" on any later use). Use the *returned* state; pass
-    `donate=False` to keep the passed-in state alive (costs a fresh ~380 MB
-    HBM allocation + copy of the state pytree every step).
+    With `donate=True` the train step donates its input state buffers
+    (params/opt-state/batch-stats update in place — no fresh ~380 MB HBM
+    allocation + copy of the state pytree every step), but this CONSUMES
+    `state`: if the caller's pytree is already device-resident with the
+    replicated sharding the entry `device_put` is a no-op, so the caller's
+    own Arrays are invalidated by the first step ("Array has been deleted"
+    on any later use). Use the *returned* state. The default is False so
+    retained references stay valid; pass True on the hot path.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     bsh = NamedSharding(mesh, P("data"))
     rsh = NamedSharding(mesh, P())
-    # Donate the incoming TrainState: the loop never reuses the old state,
-    # so params/opt-state/batch-stats update in place — no fresh HBM
-    # allocations + copies of the ~380 MB state pytree every step.
     train_step = jax.jit(
         (step_factory or make_train_step)(model, tx),
         in_shardings=(rsh, bsh), out_shardings=(rsh, rsh),
@@ -299,4 +301,20 @@ def fit_on_mesh(mesh, model, state, tx, train_batches, eval_batches=None,
             if metrics_logger is not None:
                 metrics_logger.log(int(state.step), m)
             log_fn(f"step {i}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    if eval_batches is not None:
+        eval_step = jax.jit((eval_step_factory or make_eval_step)(model),
+                            in_shardings=(rsh, bsh))
+        sums: dict = {}
+        count = 0
+        for batch in prefetch_to_device(eval_batches, bsh, prefetch_depth):
+            for k, v in eval_step(state, batch).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        if count:
+            m = {f"eval_{k}": v / count for k, v in sums.items()}
+            history.append(m)
+            if metrics_logger is not None:
+                metrics_logger.log(int(state.step), m)
+            log_fn("eval: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
     return state, history

@@ -66,6 +66,22 @@ def huber_smoothness(flow: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(0.01 + err / n)
 
 
+def _huber_flow_smoothness(flow_pairs: jnp.ndarray) -> jnp.ndarray:
+    """Summed per-pair huber flow smoothness of (N, T-1, 2, H, W) flow
+    pairs: sum_t sqrt(0.01 + (sum dx^2 / H + sum dy^2 / W) / N) — exactly
+    how the reference's OTA loop accumulates `huber_smoothness` per frame
+    pair (loss_functions.py:80-101). This is the single source of truth for
+    the reduction: `deformation_motion_loss` and the fused schedule's
+    `_ota_smoothness` both call it, so their tested value+grad equivalence
+    cannot drift apart."""
+    n, _, _, h, w = flow_pairs.shape
+    dx = flow_pairs[..., :, 1:] - flow_pairs[..., :, :-1]
+    dy = flow_pairs[..., 1:, :] - flow_pairs[..., :-1, :]
+    err = (jnp.sum(dx * dx, axis=(0, 2, 3, 4)) / h
+           + jnp.sum(dy * dy, axis=(0, 2, 3, 4)) / w)
+    return jnp.sum(jnp.sqrt(0.01 + err / n))
+
+
 def deformation_motion_loss(video: jnp.ndarray, motion: jnp.ndarray) -> jnp.ndarray:
     """OTA loss. video (N, C, T, H, W), motion (N, 4, T, H, W) -> scalar.
 
@@ -86,14 +102,8 @@ def deformation_motion_loss(video: jnp.ndarray, motion: jnp.ndarray) -> jnp.ndar
     mse = (t - 1) * (jnp.mean((pred_fwd - src_bwd) ** 2) + jnp.mean((pred_bwd - src_fwd) ** 2))
 
     # Per-pair huber: reshape back to (N, T-1, ...) and reduce pairwise.
-    def huber_per_pair(flow_pairs):
-        f = flow_pairs.reshape(n, t - 1, 2, h, w)
-        dx = f[..., :, 1:] - f[..., :, :-1]
-        dy = f[..., 1:, :] - f[..., :-1, :]
-        err = jnp.sum(dx * dx, axis=(0, 2, 3, 4)) / h + jnp.sum(dy * dy, axis=(0, 2, 3, 4)) / w
-        return jnp.sum(jnp.sqrt(0.01 + err / n))
-
-    smooth = huber_per_pair(flow_fwd) + huber_per_pair(flow_bwd)
+    smooth = (_huber_flow_smoothness(flow_fwd.reshape(n, t - 1, 2, h, w))
+              + _huber_flow_smoothness(flow_bwd.reshape(n, t - 1, 2, h, w)))
     return (0.005 * smooth + mse) / 2.0 / (t - 1)
 
 
@@ -281,20 +291,12 @@ def ed_es_only_total_loss(ed_video, es_video, ed_seg, ed_motion, es_seg,
 
 
 def _ota_smoothness(motion):
-    """The huber flow-smoothness half of OTA, summed per pair exactly as
-    `deformation_motion_loss`'s inner helper accumulates it. motion
+    """The huber flow-smoothness half of OTA, reduced by the same
+    `_huber_flow_smoothness` that `deformation_motion_loss` uses. motion
     (N, 4, T, H, W) -> scalar (the un-scaled smooth term)."""
-    n, _, t, h, w = motion.shape
-
-    def huber_per_pair(f):  # f (N, T-1, 2, H, W)
-        dx = f[..., :, 1:] - f[..., :, :-1]
-        dy = f[..., 1:, :] - f[..., :-1, :]
-        err = jnp.sum(dx * dx, axis=(0, 2, 3, 4)) / h + jnp.sum(dy * dy, axis=(0, 2, 3, 4)) / w
-        return jnp.sum(jnp.sqrt(0.01 + err / n))
-
     flow_fwd = jnp.moveaxis(motion[:, :2, :-1], 2, 1)  # (N, T-1, 2, H, W)
     flow_bwd = jnp.moveaxis(motion[:, 2:, 1:], 2, 1)
-    return huber_per_pair(flow_fwd) + huber_per_pair(flow_bwd)
+    return _huber_flow_smoothness(flow_fwd) + _huber_flow_smoothness(flow_bwd)
 
 
 def _fused_chain_ota_single(video, label_ed, label_es, ed_idx, es_idx, motion,

@@ -48,7 +48,11 @@ def get_or_build(cache, lock, key, build, lru_cap: int | None = None):
         result = build()
     except BaseException as e:
         with lock:
-            cache.pop(key, None)
+            # Evict only OUR Future: after an LRU eviction a newer builder
+            # may have re-installed the key, and popping its pending Future
+            # would re-open the duplicate-build race this module closes.
+            if cache.get(key) is fut:
+                cache.pop(key)
         fut.set_exception(e)
         raise
     fut.set_result(result)

@@ -85,7 +85,7 @@ def test_parent_retries_past_partial_then_prints_complete(
                         lambda timeout_sec: calls.__setitem__(
                             "probe", calls["probe"] + 1) or True)
 
-    def fake_child(args, budget):
+    def fake_child(args, budget, wait_sec=None):
         calls["child"] += 1
         fake_time.sleep(120)  # a child attempt costs wall time
         if calls["child"] == 1:
@@ -106,7 +106,8 @@ def test_parent_emits_no_attempt_partial_when_backend_never_up(
     monkeypatch.setattr(bench, "_probe_backend", lambda timeout_sec: False)
     monkeypatch.setattr(
         bench, "_run_child",
-        lambda args, budget: pytest.fail("child must not run when probe fails"))
+        lambda args, budget, wait_sec=None: pytest.fail(
+            "child must not run when probe fails"))
     rc = bench._parent_main(_args(deadline=400.0))
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1
@@ -128,7 +129,7 @@ def test_parent_keeps_most_complete_partial_across_attempts(
     ]
     it = iter(partials)
 
-    def fake_child(args, budget):
+    def fake_child(args, budget, wait_sec=None):
         fake_time.sleep(600)
         try:
             return next(it)
@@ -157,8 +158,8 @@ def test_parent_respects_deadline_headroom(fake_time, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_probe_backend", slow_probe)
     budgets = []
 
-    def fake_child(args, budget):
-        budgets.append((bench.time.time(), budget))
+    def fake_child(args, budget, wait_sec=None):
+        budgets.append((bench.time.time(), budget, wait_sec))
         fake_time.sleep(budget)
         return {"value": None, "partial": True, "partial_reason": "x"}, "x"
 
@@ -167,9 +168,13 @@ def test_parent_respects_deadline_headroom(fake_time, monkeypatch, capsys):
     deadline = 2280.0
     bench._parent_main(_args(deadline=deadline))
     assert budgets, "expected at least one attempt"
-    for start, budget in budgets:
+    for start, budget, wait in budgets:
         assert start + budget <= t0 + deadline, (
             "child budget overruns the parent deadline")
+        # The parent's own hard wait on a wedged child (plus the 15 s
+        # kill-grace in _run_bounded) must also land before the deadline.
+        assert wait is not None and start + wait + 15 <= t0 + deadline, (
+            "parent wait on a wedged child overruns the deadline")
 
 
 def test_run_child_salvages_partial_json_on_timeout(monkeypatch):

@@ -89,6 +89,52 @@ def test_lru_cap_evicts_oldest_and_refreshes_hits():
     assert set(cache) == {"c", "a", "d"}
 
 
+def test_failed_build_does_not_evict_a_newer_builders_future():
+    """After an LRU eviction re-opens a key, a stale builder's FAILURE must
+    not pop the replacement builder's pending Future (that would re-open the
+    duplicate-build race for every subsequent caller)."""
+    cache, lock = OrderedDict(), threading.Lock()
+    fail_gate, build_gate = threading.Event(), threading.Event()
+    results = {}
+
+    def failing():
+        fail_gate.wait(2)
+        raise ValueError("stale build died")
+
+    def stale():
+        try:
+            get_or_build(cache, lock, "k", failing, lru_cap=1)
+        except ValueError:
+            results["stale"] = "raised"
+
+    t_stale = threading.Thread(target=stale)
+    t_stale.start()
+    while "k" not in cache:
+        time.sleep(0.001)
+    # Evict the stale pending Future, then install a NEW builder for "k".
+    get_or_build(cache, lock, "other", lambda: "o", lru_cap=1)
+
+    def fresh():
+        build_gate.wait(2)
+        return "fresh-value"
+
+    t_fresh = threading.Thread(
+        target=lambda: results.update(
+            fresh=get_or_build(cache, lock, "k", fresh, lru_cap=1)))
+    t_fresh.start()
+    while "k" not in cache:
+        time.sleep(0.001)
+    fresh_fut = cache["k"]
+    fail_gate.set()  # stale build fails NOW, while fresh is still pending
+    t_stale.join()
+    assert cache.get("k") is fresh_fut  # stale failure didn't pop it
+    build_gate.set()
+    t_fresh.join()
+    assert results == {"stale": "raised", "fresh": "fresh-value"}
+    # A latecomer joins the fresh result instead of rebuilding.
+    assert get_or_build(cache, lock, "k", lambda: "WRONG", lru_cap=1) == "fresh-value"
+
+
 def test_evicted_pending_future_still_resolves_for_its_waiters():
     cache, lock = OrderedDict(), threading.Lock()
     release = threading.Event()

@@ -332,3 +332,34 @@ def test_mesh_engine_matches_single_with_trained_weights(trained_model):
                                 fuse_method="simple")
     mismatch = (got != want).mean()
     assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
+
+
+def test_shim_wraps_raw_variables_in_one_cached_engine(tiny_model):
+    """segment_a_video_with_fusion accepts raw flax variables (the slot the
+    reference fills with its torch model, fuse_utils.py:36); the wrapped
+    fp32 engine is identity-cached so repeat calls don't re-trace."""
+    from echoflow.infer import pipeline as pl
+
+    _, variables = tiny_model
+    s1 = pl._segmenter_for_variables(variables)
+    s2 = pl._segmenter_for_variables(variables)
+    assert s1 is s2
+    assert s1.dtype == jnp.float32  # reference-parity precision
+
+
+@pytest.mark.slow
+def test_shim_segments_from_raw_variables_matches_engine(tiny_model, tiny_engine):
+    from echoflow.infer.pipeline import segment_a_video_with_fusion
+
+    _, variables = tiny_model
+    beat = make_beating_video(num_frames=40, height=32, width=32,
+                              period=20.0, seed=7)
+    video = zeroone_normalizer(beat.video.copy())
+    got = segment_a_video_with_fusion(video, variables, num_clips=2, step=1,
+                                      fuse_method="simple")
+    want = segment_a_video_with_fusion(video, tiny_engine, num_clips=2,
+                                       step=1, fuse_method="simple")
+    assert got.shape == want.shape == (40, 32, 32)
+    # Engines differ only in chunk/bucket padding, which must not change
+    # the masks.
+    assert (got != want).mean() <= 1e-3

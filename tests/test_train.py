@@ -221,6 +221,50 @@ def test_train_clasfv_writes_last_checkpoint_and_restores_best_val(tmp_path):
 
 
 @pytest.mark.slow
+def test_fit_on_mesh_eval_pass_history_and_safe_default():
+    """fit_on_mesh with eval_batches runs one validation pass on the final
+    state (batch-mean metrics, `eval_` prefix, logged), and the default
+    donate=False keeps the caller's device-resident state alive. Uses fake
+    step factories so the loop logic is tested without a full-model
+    compile."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from echoflow.parallel.mesh import data_mesh
+    from echoflow.train.loop import fit_on_mesh
+
+    mesh = data_mesh(1)
+    rsh = NamedSharding(mesh, P())
+
+    def step_factory(model, tx):
+        def step(state, batch):
+            return state + 1.0, {"loss": jnp.mean(batch["x"])}
+        return step
+
+    def eval_factory(model):
+        def ev(state, batch):
+            return {"loss": jnp.mean(batch["x"]) + 0.0 * state,
+                    "ed_dice": jnp.float32(0.5)}
+        return ev
+
+    state0 = jax.device_put(jnp.float32(0.0), rsh)  # replicated + resident:
+    # with donate=True the entry device_put would be identity and the first
+    # step would invalidate state0 — the default must not.
+    train = [{"x": np.full((2, 3), float(i), np.float32)} for i in range(4)]
+    evalb = [{"x": np.full((2, 3), 10.0, np.float32)},
+             {"x": np.full((2, 3), 20.0, np.float32)}]
+    logs = []
+    state, history = fit_on_mesh(
+        mesh, None, state0, None, train, eval_batches=evalb,
+        log_every=2, log_fn=logs.append, step_factory=step_factory,
+        eval_step_factory=eval_factory)
+    assert float(state) == 4.0
+    assert len(history) == 3  # train logs at steps 2 and 4, then the eval entry
+    assert history[-1] == {"eval_loss": 15.0, "eval_ed_dice": 0.5}
+    assert any(line.startswith("eval:") for line in logs)
+    assert float(state0) == 0.0  # donate defaults off: caller's state intact
+
+
 def test_bf16_compute_dtype_step_runs_and_is_finite():
     """Opt-in bf16 training (TrainConfig.compute_dtype / train_clasfv
     --compute-dtype bf16): params/optimizer stay fp32, the model computes in

@@ -317,7 +317,8 @@ def main(argv=None):
         tic = time.time()
         state, history = fit_on_mesh(
             mesh, model, state, tx, epoch_batches(epoch, "train"),
-            log_every=args.log_every, step_factory=step_factory)
+            log_every=args.log_every, step_factory=step_factory,
+            donate=True)  # hot path: only the returned state is used
         # Validation pass.
         val_losses, ed_d, es_d = [], [], []
         for batch in epoch_batches(epoch, "val"):
