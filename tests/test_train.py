@@ -142,12 +142,17 @@ def test_prefetch_to_device():
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ECHOFLOW_RUN_DRIVER_GATES"),
+    reason="duplicates the driver's own MULTICHIP gate (run every round, "
+           "MULTICHIP_rNN.json); ~3.3 min of CPU compiles. Set "
+           "ECHOFLOW_RUN_DRIVER_GATES=1 to run in-suite.")
 def test_dryrun_multichip_8():
     """The driver's multichip gate, in-process (full train step + sharded
-    inference on the 8-virtual-device mesh, ~2.4 min of CPU compiles).
-    Slow-marked: the driver runs this exact entry point every round
-    (MULTICHIP_rNN.json) and the fast profile keeps the mesh-sharded
-    engine tests in test_pipeline.py."""
+    inference on the 8-virtual-device mesh). The mesh-sharded engine and
+    train-step code paths keep in-suite coverage via test_pipeline.py's
+    mesh tests and the fit_on_mesh tests; this entry point itself is
+    certified out-of-band by the driver every round."""
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
