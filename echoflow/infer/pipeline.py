@@ -431,24 +431,38 @@ class VideoSegmenter:
                 yield inflight.popleft().result()
 
 
-_SHIM_ENGINES: list = []  # [(variables, VideoSegmenter)] identity-keyed MRU
+_SHIM_ENGINES: list = []  # [(variables, leaf_ids, VideoSegmenter)] MRU
 _SHIM_ENGINES_LOCK = threading.Lock()
 _SHIM_MAX = 4
+
+
+def _leaf_ids(variables) -> tuple:
+    import jax
+
+    return tuple(map(id, jax.tree.leaves(variables)))
 
 
 def _segmenter_for_variables(variables) -> VideoSegmenter:
     """A fp32 (reference-parity) engine for a raw flax `variables` dict,
     built once per dict and reused across calls — a fresh engine per call
-    would re-trace/re-compile every video. Identity-keyed: the small MRU
-    holds a strong reference to each variables dict so ids cannot be
-    recycled while an entry lives."""
+    would re-trace/re-compile every video. Keyed on the dict's identity AND
+    its leaf-array identities: the engine folds/pins a *copy* of the
+    weights at construction, so loading a new checkpoint into the same tree
+    (which replaces the leaf objects — jax arrays are immutable) must
+    rebuild instead of serving the old weights. (Writing into numpy leaf
+    buffers in place is the one undetectable mutation.) The small MRU holds
+    a strong reference to each variables dict so ids cannot be recycled
+    while an entry lives."""
+    ids = _leaf_ids(variables)
     with _SHIM_ENGINES_LOCK:
-        for i, (v, s) in enumerate(_SHIM_ENGINES):
-            if v is variables:
+        for i, (v, lids, s) in enumerate(_SHIM_ENGINES):
+            if v is variables and lids == ids:
                 _SHIM_ENGINES.append(_SHIM_ENGINES.pop(i))
                 return s
+        # Drop any stale entry for this dict (leaves were swapped).
+        _SHIM_ENGINES[:] = [e for e in _SHIM_ENGINES if e[0] is not variables]
         seg = VideoSegmenter(variables=variables, dtype=jnp.float32)
-        _SHIM_ENGINES.append((variables, seg))
+        _SHIM_ENGINES.append((variables, ids, seg))
         del _SHIM_ENGINES[:-_SHIM_MAX]
         return seg
 

@@ -142,6 +142,60 @@ def _chain_scan(init_label, motion_flows, seg_logits, frame_ids, active_fn,
     return jnp.sum(sgs_terms), jnp.sum(ots_terms)
 
 
+def _edes_chain_table(label_ed, label_es, ed_idx, es_idx, motion):
+    """The reference's four chained-warp loops (clasfv_losses.py:84-130) as
+    one data table: A fwd-from-ED (OTS at ES arrival), B fwd-from-ES,
+    C bwd-from-ES (OTS at ED arrival), D bwd-from-ED. Single source of
+    truth for both loss schedules — `motion_seg_loss_single` and the
+    fused-OTA `_fused_chain_ota_single` consume the SAME table, so their
+    tested equivalence cannot drift through a one-sided chain edit.
+
+    Returns (fwd_flows, fwd_ids, bwd_flows, bwd_ids, table) where flows
+    are (T-1, 2, H, W) in scan-step order (forward step i uses flow i;
+    backward step i uses the flow at frame T-1-i) and `table` holds the
+    per-chain constants."""
+    t = motion.shape[1]
+    oh_ed = one_hot_channels(label_ed[None, None], 2)[0]  # (2, H, W)
+    oh_es = one_hot_channels(label_es[None, None], 2)[0]
+
+    fwd_flows = jnp.moveaxis(motion[:2, :-1], 1, 0)       # step i: flow i
+    fwd_ids = jnp.arange(t - 1)
+    bwd_flows = jnp.moveaxis(motion[2:, 1:], 1, 0)[::-1]  # step i: flow T-1-i
+    bwd_ids = jnp.arange(t - 1, 0, -1)
+
+    table = {
+        "init_labels": jnp.stack([oh_ed, oh_es, oh_es, oh_ed]),  # (4, 2, H, W)
+        "start_ids": jnp.stack([ed_idx, es_idx, es_idx, ed_idx]),
+        "ots_frames": jnp.stack([es_idx - 1, -1, ed_idx + 1, -1]),
+        "ots_targets": jnp.stack([oh_es, oh_es, oh_ed, oh_ed]),
+        "directions": jnp.asarray([1, 1, -1, -1]),   # active-side sign
+        "offsets": jnp.asarray([1, 1, -1, -1]),      # scored frame offset
+    }
+    return fwd_flows, fwd_ids, bwd_flows, bwd_ids, table
+
+
+def _chain_step_terms(tbl, labels, warped, fid, seg_logits, criterion):
+    """Shared per-step bookkeeping of the 4-wide chain scan: chain-activity
+    masking, label carry, the OTS Dice term at the arrival frame, and the
+    SGS criterion against the offset frame's logits. Both loss schedules
+    route their (differently computed) `warped` labels through this one
+    function. Returns (new_labels, sgs_terms, ots_terms)."""
+    active = jnp.where(tbl["directions"] > 0,
+                       fid >= tbl["start_ids"], fid <= tbl["start_ids"])
+    new_labels = jnp.where(active[:, None, None, None], warped, labels)
+
+    is_ots = active & (fid == tbl["ots_frames"])
+    ots_terms = jnp.where(
+        is_ots, jax.vmap(soft_dice_loss)(warped, tbl["ots_targets"]), 0.0)
+
+    frame_logits = jax.vmap(
+        lambda f: jax.lax.dynamic_index_in_dim(seg_logits, f, axis=1, keepdims=False)
+    )(fid + tbl["offsets"])  # (4, 2, H, W)
+    sgs_each = jax.vmap(criterion)(frame_logits, warped)
+    sgs_terms = jnp.where(active & ~is_ots, sgs_each, 0.0)
+    return new_labels, sgs_terms, ots_terms
+
+
 def motion_seg_loss_single(label_ed, label_es, ed_idx, es_idx, motion, seg_logits,
                            criterion=bce_with_logits):
     """Per-sample SGS + OTS. label_* (H, W) int; motion (4, T, H, W);
@@ -154,22 +208,8 @@ def motion_seg_loss_single(label_ed, label_es, ed_idx, es_idx, motion, seg_logit
     chain axis — identical math, a quarter of the sequential depth, 4x the
     warp batch per step."""
     t = motion.shape[1]
-    oh_ed = one_hot_channels(label_ed[None, None], 2)[0]  # (2, H, W)
-    oh_es = one_hot_channels(label_es[None, None], 2)[0]
-
-    fwd_flows = jnp.moveaxis(motion[:2, :-1], 1, 0)       # (T-1, 2, H, W); step i: flow i
-    fwd_ids = jnp.arange(t - 1)
-    bwd_flows = jnp.moveaxis(motion[2:, 1:], 1, 0)[::-1]  # step i: flow at frame T-1-i
-    bwd_ids = jnp.arange(t - 1, 0, -1)
-
-    # Chain table: A fwd-from-ED (OTS at ES arrival), B fwd-from-ES,
-    # C bwd-from-ES (OTS at ED arrival), D bwd-from-ED.
-    init_labels = jnp.stack([oh_ed, oh_es, oh_es, oh_ed])       # (4, 2, H, W)
-    start_ids = jnp.stack([ed_idx, es_idx, es_idx, ed_idx])
-    ots_frames = jnp.stack([es_idx - 1, -1, ed_idx + 1, -1])
-    ots_targets = jnp.stack([oh_es, oh_es, oh_ed, oh_ed])
-    directions = jnp.asarray([1, 1, -1, -1])                    # active-side sign
-    offsets = jnp.asarray([1, 1, -1, -1])                       # scored frame offset
+    fwd_flows, fwd_ids, bwd_flows, bwd_ids, tbl = _edes_chain_table(
+        label_ed, label_es, ed_idx, es_idx, motion)
 
     flows = jnp.stack([fwd_flows, fwd_flows, bwd_flows, bwd_flows], axis=1)  # (T-1, 4, 2, H, W)
     fids = jnp.stack([fwd_ids, fwd_ids, bwd_ids, bwd_ids], axis=1)           # (T-1, 4)
@@ -177,20 +217,11 @@ def motion_seg_loss_single(label_ed, label_es, ed_idx, es_idx, motion, seg_logit
     def step(labels, inp):
         flow, fid = inp  # (4, 2, H, W), (4,)
         warped = warp_image_with_offsets(labels, flow)
-        active = jnp.where(directions > 0, fid >= start_ids, fid <= start_ids)
-        new_labels = jnp.where(active[:, None, None, None], warped, labels)
-
-        is_ots = active & (fid == ots_frames)
-        ots_terms = jnp.where(is_ots, jax.vmap(soft_dice_loss)(warped, ots_targets), 0.0)
-
-        frame_logits = jax.vmap(
-            lambda f: jax.lax.dynamic_index_in_dim(seg_logits, f, axis=1, keepdims=False)
-        )(fid + offsets)  # (4, 2, H, W)
-        sgs_each = jax.vmap(criterion)(frame_logits, warped)
-        sgs_terms = jnp.where(active & ~is_ots, sgs_each, 0.0)
+        new_labels, sgs_terms, ots_terms = _chain_step_terms(
+            tbl, labels, warped, fid, seg_logits, criterion)
         return new_labels, (sgs_terms, ots_terms)
 
-    _, (sgs_terms, ots_terms) = jax.lax.scan(step, init_labels, (flows, fids))
+    _, (sgs_terms, ots_terms) = jax.lax.scan(step, tbl["init_labels"], (flows, fids))
     sgs = jnp.sum(sgs_terms) / ((t - 2) * 2)
     ots = jnp.sum(ots_terms) / 2.0
     return sgs, ots
@@ -319,13 +350,8 @@ def _fused_chain_ota_single(video, label_ed, label_es, ed_idx, es_idx, motion,
     both OTA warp directions for this sample; the caller normalizes.
     """
     t = motion.shape[1]
-    oh_ed = one_hot_channels(label_ed[None, None], 2)[0]
-    oh_es = one_hot_channels(label_es[None, None], 2)[0]
-
-    fwd_flows = jnp.moveaxis(motion[:2, :-1], 1, 0)       # (T-1, 2, H, W)
-    fwd_ids = jnp.arange(t - 1)
-    bwd_flows = jnp.moveaxis(motion[2:, 1:], 1, 0)[::-1]  # step i: flow T-1-i
-    bwd_ids = jnp.arange(t - 1, 0, -1)
+    fwd_flows, fwd_ids, bwd_flows, bwd_ids, tbl = _edes_chain_table(
+        label_ed, label_es, ed_idx, es_idx, motion)
 
     # OTA pairs, aligned to the scan's step order: forward step i warps
     # frame i toward frame i+1; backward step i warps frame T-1-i toward
@@ -333,13 +359,6 @@ def _fused_chain_ota_single(video, label_ed, label_es, ed_idx, es_idx, motion,
     vid = jnp.moveaxis(video, 1, 0)                       # (T, 3, H, W)
     vf_src, vf_tgt = vid[:-1], vid[1:]
     vb_src, vb_tgt = vid[1:][::-1], vid[:-1][::-1]
-
-    init_labels = jnp.stack([oh_ed, oh_es, oh_es, oh_ed])  # (4, 2, H, W)
-    start_ids = jnp.stack([ed_idx, es_idx, es_idx, ed_idx])
-    ots_frames = jnp.stack([es_idx - 1, -1, ed_idx + 1, -1])
-    ots_targets = jnp.stack([oh_es, oh_es, oh_ed, oh_ed])
-    directions = jnp.asarray([1, 1, -1, -1])
-    offsets = jnp.asarray([1, 1, -1, -1])
 
     xs = (fwd_flows, bwd_flows, vf_src, vf_tgt, vb_src, vb_tgt,
           jnp.stack([fwd_ids, fwd_ids, bwd_ids, bwd_ids], axis=1))
@@ -363,18 +382,12 @@ def _fused_chain_ota_single(video, label_ed, label_es, ed_idx, es_idx, motion,
         mse_step = (jnp.sum((warped_vid[0] - f_tgt) ** 2)
                     + jnp.sum((warped_vid[1] - b_tgt) ** 2))
 
-        active = jnp.where(directions > 0, fid >= start_ids, fid <= start_ids)
-        new_labels = jnp.where(active[:, None, None, None], warped, labels)
-        is_ots = active & (fid == ots_frames)
-        ots_terms = jnp.where(is_ots, jax.vmap(soft_dice_loss)(warped, ots_targets), 0.0)
-        frame_logits = jax.vmap(
-            lambda f: jax.lax.dynamic_index_in_dim(seg_logits, f, axis=1, keepdims=False)
-        )(fid + offsets)
-        sgs_each = jax.vmap(criterion)(frame_logits, warped)
-        sgs_terms = jnp.where(active & ~is_ots, sgs_each, 0.0)
+        new_labels, sgs_terms, ots_terms = _chain_step_terms(
+            tbl, labels, warped, fid, seg_logits, criterion)
         return new_labels, (sgs_terms, ots_terms, mse_step)
 
-    _, (sgs_terms, ots_terms, mse_steps) = jax.lax.scan(step, init_labels, xs)
+    _, (sgs_terms, ots_terms, mse_steps) = jax.lax.scan(
+        step, tbl["init_labels"], xs)
     sgs = jnp.sum(sgs_terms) / ((t - 2) * 2)
     ots = jnp.sum(ots_terms) / 2.0
     return sgs, ots, jnp.sum(mse_steps)

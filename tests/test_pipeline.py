@@ -346,6 +346,18 @@ def test_shim_wraps_raw_variables_in_one_cached_engine(tiny_model):
     assert s1 is s2
     assert s1.dtype == jnp.float32  # reference-parity precision
 
+    # Loading new weights into the SAME dict replaces the leaf objects
+    # (jax arrays are immutable); the cache must rebuild, not serve the
+    # engine folded from the old weights.
+    orig_params = variables["params"]
+    try:
+        variables["params"] = jax.tree.map(lambda x: x + 0, orig_params)
+        s3 = pl._segmenter_for_variables(variables)
+        assert s3 is not s1
+        assert pl._segmenter_for_variables(variables) is s3  # re-cached once
+    finally:
+        variables["params"] = orig_params  # module-scoped fixture
+
 
 @pytest.mark.slow
 def test_shim_segments_from_raw_variables_matches_engine(tiny_model, tiny_engine):

@@ -225,7 +225,6 @@ def test_train_clasfv_writes_last_checkpoint_and_restores_best_val(tmp_path):
     assert extra2["val_loss"] <= extra_best["val_loss"] + 1e-9
 
 
-@pytest.mark.slow
 def test_fit_on_mesh_eval_pass_history_and_safe_default():
     """fit_on_mesh with eval_batches runs one validation pass on the final
     state (batch-mean metrics, `eval_` prefix, logged), and the default
@@ -270,6 +269,7 @@ def test_fit_on_mesh_eval_pass_history_and_safe_default():
     assert float(state0) == 0.0  # donate defaults off: caller's state intact
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype_step_runs_and_is_finite():
     """Opt-in bf16 training (TrainConfig.compute_dtype / train_clasfv
     --compute-dtype bf16): params/optimizer stay fp32, the model computes in
