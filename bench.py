@@ -113,14 +113,16 @@ def _machine_matmul_tfs(chain: int = 16):
     return round(chain * 2 * 4096 ** 3 / best / 1e12, 1)
 
 
-def make_train_bench_fixture(batch_size: int = 4, fused_ota: bool = False):
+def make_train_bench_fixture(batch_size: int = 4, fused_ota: bool = True):
     """The canonical train-step bench recipe (train notebook cell 10:
     batch 4, 32x112x112 clips, CLAS-FV loss, Adam): returns
     (state, batch, chained_steps_fn) where chained_steps_fn(state, batch,
     n) runs n steps in ONE dispatch via lax.scan and returns the per-step
     losses. Shared with benchmarks/profile_train_step.py so the profiler
     ablates exactly the step that bench certifies. `fused_ota` selects the
-    OTA-in-scan loss schedule (losses.clasfv_total_loss_fused)."""
+    OTA-in-scan loss schedule (losses.clasfv_total_loss_fused) — the
+    adopted default (279 vs 345 ms/step measured; False is the literal
+    reference schedule, kept for the profiler's ablation)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,9 +183,9 @@ def _train_step_ms(n_steps: int = 8):
     timed as a single host materialization of the small per-step loss
     vector — NOT `block_until_ready`, which on the tunneled backend
     sometimes returns before the computation finishes (the source of a
-    retracted 77 ms claim). Measured ~345 ms/step even scan-chained;
-    ablation (benchmarks/profile_train_step.py) splits it ~155 ms model
-    fwd+bwd + ~99 ms SGS/OTS warp-scan grads + ~90 ms OTA in-graph."""
+    retracted 77 ms claim). Measured 279 ms/step with the default fused-OTA
+    schedule (the reference-literal schedule is 345 ms; ablation in
+    benchmarks/profile_train_step.py)."""
     fx = make_train_bench_fixture()
 
     np.asarray(fx.chained_steps(fx.state, fx.batch, n_steps))  # compile+warm

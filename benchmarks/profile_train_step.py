@@ -1,23 +1,29 @@
-"""Component breakdown of the CLAS-FV train step (where the 346 ms goes).
+"""Component breakdown of the CLAS-FV train step.
 
 Times, scan-chained in one dispatch each (the tunnel adds ~27 ms per
 materialization, so every figure is amortized over CHAIN repetitions inside
 a single jit — see bench._machine_matmul_tfs):
 
-  full         - the complete train step (fwd + OTA + SGS/OTS + BCE + bwd + Adam)
+  full         - the complete train step with the reference-literal loss
+                 schedule (fwd + OTA + SGS/OTS + BCE + bwd + Adam)
+  full_fused   - the same step with the ADOPTED fused-OTA schedule
+                 (make_train_step's default; OTA warps ride the SGS/OTS
+                 scan — losses.clasfv_total_loss_fused)
   fwd_bwd      - model forward (train=True) + backward of a surrogate mean
                  loss on (seg, motion) only — the conv backbone cost
   loss_grad    - grad of the CLAS-FV loss w.r.t. fixed (seg, motion) inputs,
-                 no model — the warp-chain cost
+                 no model — the warp-chain cost (unfused / fused variants)
   ota_grad     - grad of OTA alone (batched 124-warp)
   sgsots_grad  - grad of SGS/OTS alone (the 31-step 4-wide masked scans)
 
-Measured breakdown (v5e, batch 4, after fixing the fwd_bwd DCE bug below):
-full 345 ms ≈ model fwd+bwd ~155 + SGS/OTS grads ~99 + OTA-in-graph ~90.
-Batch 8 → 526 ms: the loss grads scale ~linearly (compute-bound); the model
-path carries the largest fixed chunk. Adam vs plain SGD is <1 ms (ablated);
-in-graph component deltas were cross-checked by monkeypatch ablation
-(zeroing SGS/OTS: -99 ms; also zeroing OTA: -90 ms).
+Measured (v5e, batch 4, fp32, 2026-08 round 4):
+  full 344.8 ms ≈ model fwd+bwd 152.1 + loss grads 140.9 + 51.8 overlap/opt
+  full_fused 279.2 ms (-19%): sharing the per-direction flow coordinates
+  between OTA's video warps and the label chains removes most of OTA's
+  standalone cost (ota_grad alone: 9.2 ms batched; in the full unfused
+  graph its true cost was ~90 ms, dominated by scheduling, not FLOPs).
+Batch 8 → ~linear loss-grad scaling (compute-bound); Adam vs SGD <1 ms;
+component deltas cross-checked by monkeypatch ablation in round 3.
 
 Usage: python benchmarks/profile_train_step.py [--chain 8]
 """
@@ -83,7 +89,9 @@ def main():
     results = {}
 
     def full(state, batch):
-        return fx.chained_steps(state, batch, chain)
+        # Explicit fused=False: the reference-literal schedule, regardless
+        # of the fixture's (adopted-fused) default.
+        return fx.chained_steps(state, batch, chain, fused=False)
 
     results["full_ms"] = _timed(full, state, batch) / chain * 1000
 

@@ -53,7 +53,8 @@ class TrainConfig:
     batch_size: int = 4
     # Model compute dtype (params/optimizer stay fp32). Default fp32 — the
     # reference trains fp32 and bf16 changes the optimization trajectory
-    # (measured: -12% step time, 345 -> 304 ms, similar first-step loss,
+    # (measured on the round-3 unfused schedule: -12% step time,
+    # 345 -> 304 ms, similar first-step loss,
     # but first-step Adam update cosine vs fp32 is only 0.45 — tiny
     # gradient sign flips dominate Adam's normalized update at init).
     # Opt-in via --compute-dtype bf16 for users who accept the tradeoff.
@@ -116,12 +117,17 @@ def _loss_fn(params, batch_stats, model, batch, remat: bool = False,
 
 
 def make_train_step(model: R2Plus1DMotionSegNet, tx: optax.GradientTransformation,
-                    remat: bool = False, fused_ota: bool = False):
+                    remat: bool = False, fused_ota: bool = True):
     """Returns train_step(state, batch) -> (state, metrics). jit it with the
-    batch sharded over the mesh's `data` axis for DP. `fused_ota` selects
-    the OTA-in-scan loss formulation (identical math, different schedule —
-    see losses.clasfv_total_loss_fused; measured via
-    benchmarks/profile_train_step.py)."""
+    batch sharded over the mesh's `data` axis for DP.
+
+    `fused_ota` selects the OTA-in-scan loss formulation — identical math
+    to the reference schedule up to fp summation order (value AND gradient
+    equivalence pinned by tests/test_losses.py), but OTA's video warps share
+    the per-step flow coordinates with the SGS/OTS label chains. Default ON:
+    measured 279 ms vs 345 ms per full step (batch 4, 32x112x112, fp32,
+    v5e — benchmarks/profile_train_step.py). Pass False for the literal
+    reference compute schedule."""
 
     def train_step(state: TrainState, batch):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)

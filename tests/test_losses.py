@@ -345,8 +345,9 @@ def test_fused_ota_loss_equals_unfused(clip):
 
 @pytest.mark.slow
 def test_fused_ota_train_step_matches(clip):
-    """make_train_step(fused_ota=True) produces the same loss/metrics and
-    (to fp tolerance) the same updated params as the default step."""
+    """make_train_step(fused_ota=True) — the adopted default schedule —
+    produces the same loss/metrics and (to fp tolerance) the same updated
+    params as the reference-literal fused_ota=False step."""
     import optax
 
     from echoflow.train.loop import TrainConfig, create_train_state, make_train_step
@@ -360,7 +361,10 @@ def test_fused_ota_train_step_matches(clip):
         "ed_label": jnp.asarray(labels_ed), "es_label": jnp.asarray(labels_es),
         "ed_idx": jnp.array([1, 2]), "es_idx": jnp.array([4, 3]),
     }
-    s0, m0 = jax.jit(make_train_step(model, tx))(state, batch)
+    # fused_ota=False is the reference-literal schedule; True (the adopted
+    # default) must match it — pass both explicitly so the test keeps
+    # comparing the two schedules whatever the default is.
+    s0, m0 = jax.jit(make_train_step(model, tx, fused_ota=False))(state, batch)
     s1, m1 = jax.jit(make_train_step(model, tx, fused_ota=True))(state, batch)
     np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-5)
     for k in ("ota", "sgs", "ots", "edes_bce"):
