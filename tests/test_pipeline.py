@@ -143,6 +143,38 @@ def test_engine_matches_reference_algorithm(tiny_model, tiny_engine, length,
     assert mismatch <= 1e-3, f"mismatch fraction {mismatch}"
 
 
+def test_mono_fast_path_is_bit_identical(tiny_engine):
+    """Grayscale-in-RGB videos auto-detect as mono (ship one channel,
+    replicate on device) and must produce BIT-IDENTICAL masks to the forced
+    RGB path — per-channel normalization of identical channels is identical,
+    so the only difference is where the replication happens."""
+    from echoflow.infer.pipeline import _unpackbits
+
+    beat = make_beating_video(num_frames=64, height=32, width=32,
+                              period=20.0, seed=7)
+    video = zeroone_normalizer(beat.video.copy())
+    assert np.array_equal(video[0], video[1])  # grayscale-in-RGB input
+
+    def materialize(pair):
+        dev, (length, width) = pair
+        return _unpackbits(np.asarray(jax.device_get(dev)), width)[:length]
+
+    auto = materialize(tiny_engine.segment_video_async(
+        video, num_clips=2, step=1, fuse_method="majority"))
+    rgb = materialize(tiny_engine.segment_video_async(
+        video, num_clips=2, step=1, fuse_method="majority", mono=False))
+    assert auto.shape == rgb.shape == (64, 32, 32)
+    assert np.array_equal(auto, rgb)
+
+    # A genuinely colored video must NOT take the mono path (the blue-video
+    # exception): detection is exact equality, not near-equality.
+    colored = video.copy()
+    colored[2, 0, 0, 0] += 0.5
+    got = tiny_engine.segment_video(colored, num_clips=2, step=1,
+                                    fuse_method="majority")
+    assert got.shape == (64, 32, 32)
+
+
 @pytest.fixture(scope="module")
 def mesh_engine(tiny_model):
     """One shared mesh-sharded engine so the 8-device forward graphs compile
