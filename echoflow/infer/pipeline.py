@@ -175,7 +175,10 @@ class VideoSegmenter:
         masks to the flax fp32 forward), jnp.bfloat16 to force the fast
         path everywhere.
     forward_chunk : clips per forward chunk (bounds peak activation memory);
-        with a mesh this is the *per-device* chunk
+        with a mesh this is the *per-device* chunk. Default 30 = one chunk
+        for a 176-frame 5-shift video (~1 GB peak stem activation in bf16):
+        a v5e sweep measured 15/30/60-clip chunks at 1868/1939/1735 f/s
+        medians on the headline stream — 30 wins; drop it on small devices
     bucket : videos are padded to a multiple of this many frames; one
         compile serves a whole bucket
     mesh : optional `jax.sharding.Mesh` with a `data` axis. Shards the
@@ -188,7 +191,7 @@ class VideoSegmenter:
     variables: dict
     dtype: object = "auto"
     backbone_dtype: object = None  # None = same as dtype; bf16 = mixed policy
-    forward_chunk: int = 8
+    forward_chunk: int = 30
     bucket: int = 64
     fold_bn: bool = True
     mesh: object = None
