@@ -13,10 +13,12 @@ the driver-reproducible number the README quotes. Per-pass numbers are in
 "all_passes" for scrutiny; the host has a single CPU core and the TPU is
 tunneled, so a concurrent host burst or tunnel hiccup can still depress a
 pass, which the median (not max) absorbs honestly. Observed window-to-window
-spread on this tunnel is large (same code has measured 479-1380 f/s
-per-pass across sessions); 9 passes of 48 videos each keep the median
-robust to several bad seconds, and "machine_matmul_tfs_before"/"..._after"
-bracket the run so a degraded window is visible in the artifact.
+spread on this tunnel is large (pre-mono-path code measured 479-1380 f/s
+per-pass across sessions; the mono fast path cut upload 3x and with it much
+of the sensitivity — first post-mono capture: passes 1236-1913, median
+1563). 9 passes of 48 videos each keep the median robust to several bad
+seconds, and "machine_matmul_tfs_before"/"..._after" bracket the run so a
+degraded window is visible in the artifact.
 
 Also certified here (round-2 verdict items 3-4):
   - "train_step_ms": latency-amortized full CLAS-FV train step (batch 4,
