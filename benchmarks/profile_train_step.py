@@ -59,6 +59,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--out", default=None,
+                    help="also write the results JSON to this path (the "
+                         "committed artifact is "
+                         "benchmarks/train_step_profile.json)")
     args = ap.parse_args()
 
     import jax
@@ -177,7 +181,13 @@ def main():
     results = {k: round(v, 1) for k, v in results.items()}
     results["unexplained_ms"] = round(
         results["full_ms"] - results["fwd_bwd_ms"] - results["loss_grad_ms"], 1)
-    print(json.dumps(results, indent=1))
+    results["config"] = {"batch": args.batch, "chain": args.chain,
+                         "backend": jax.default_backend()}
+    text = json.dumps(results, indent=1)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
 
 
 if __name__ == "__main__":
