@@ -400,7 +400,11 @@ class VideoSegmenter:
             lru_cap=self.operand_cache_size)
 
         video = np.asarray(video)
-        if mono is None:
+        if video.shape[0] == 1:
+            # Already single-channel: only the mono graph can run it (the
+            # RGB graph's clip reshape assumes C=3), whatever was passed.
+            mono = True
+        elif mono is None:
             mono = (video.shape[0] == 3
                     and np.array_equal(video[0], video[1])
                     and np.array_equal(video[1], video[2]))

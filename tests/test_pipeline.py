@@ -174,6 +174,13 @@ def test_mono_fast_path_is_bit_identical(tiny_engine):
                                     fuse_method="majority")
     assert got.shape == (64, 32, 32)
 
+    # An already single-channel (1, T, H, W) video rides the mono graph
+    # (even with mono=False — the RGB graph cannot take C=1) and matches
+    # the replicated-RGB result exactly.
+    one_ch = materialize(tiny_engine.segment_video_async(
+        video[:1], num_clips=2, step=1, fuse_method="majority", mono=False))
+    assert np.array_equal(one_ch, rgb)
+
 
 @pytest.fixture(scope="module")
 def mesh_engine(tiny_model):
