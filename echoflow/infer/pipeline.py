@@ -28,8 +28,11 @@ Here the whole pipeline after host video decode is ONE jitted graph:
      probabilities directly.
 
 Video lengths are bucketed (padded to a multiple of 32): one compile per
-(bucket, num_clips, fuse_method) serves every video in that bucket — the
-resize/gather matrices are runtime inputs.
+(bucket, num_clips, forward-batch quantum, fuse_method) serves every video
+in that bucket — the resize/gather matrices are runtime inputs. Only the
+clips that actually exist reach the network (the bucket's padded tail is
+dropped before the forward, which is where ~94% of the time goes), so a
+144-frame video in the 192 bucket forwards 20 clips, not 30.
 """
 
 from __future__ import annotations
@@ -94,8 +97,11 @@ def divide_to_consecutive_clips(video: np.ndarray, clip_length: int = CLIP_LEN,
 
 
 def _shift_plan(length: int, num_clips: int, step: int):
-    """Per-shift (shift_offset, L_k, L_k') exactly as the reference clamps
-    them (fuse_utils.py:38-48)."""
+    """Per-shift (shift_offset, L_k, L_k') with the reference's shift-count
+    clamp (fuse_utils.py:38-48), hardened at the lower edge: for
+    32 <= L < 32 + step the reference computes num_clips = 0 and crashes
+    downstream (it clamps only < 0 to 1, fuse_utils.py:41); echoflow clamps
+    < 1 to 1 and segments the single available shift instead."""
     if length < CLIP_LEN + num_clips * step:
         num_clips = (length - CLIP_LEN) // step
     if num_clips < 1:
@@ -155,8 +161,16 @@ def _build_host_operands(length: int, num_clips: int, step: int, t_pad: int):
             gather_idx[i, 0] = i
             valid[i, 0] = 1.0
 
+    # Flat indices (into the k-major (K * c_max) clip grid) of the clips
+    # that actually exist: shift k contributes its first lki/32 slots. Only
+    # these reach the network — the padded tail slots' outputs would meet
+    # all-zero `bwd` columns anyway (bwd[k] is nonzero only in its first
+    # lki columns), so dropping them from the forward is bit-exact.
+    valid_clip_idx = np.flatnonzero(clip_valid.reshape(-1)).astype(np.int32)
+
     return dict(fwd=fwd, bwd=bwd, clip_valid=clip_valid, gather_idx=gather_idx,
-                valid=valid, k_num=k_num, c_max=c_max)
+                valid=valid, k_num=k_num, c_max=c_max,
+                valid_clip_idx=valid_clip_idx)
 
 
 @dataclass
@@ -246,43 +260,52 @@ class VideoSegmenter:
         self._cache_lock = threading.Lock()
 
     # ---------------------------------------------------------------- graph
-    def _graph(self, t_pad: int, k_num: int, fuse_method: str, mono: bool):
+    def _chunk_plan(self, n_fwd: int):
+        """Balanced forward chunking for `n_fwd` clips: n_chunks is the
+        fewest chunks of <= forward_chunk (per device), and the chunk size
+        is the *balanced* ceil(n_fwd / n_chunks) — NOT forward_chunk — so
+        the padding waste is < n_chunks clips instead of up to a whole
+        chunk (40 valid clips at forward_chunk=30 forward 2x20, not 2x30).
+        With a mesh the chunk rounds up to a device-count multiple so the
+        `data`-axis shard is even. Returns (n_chunks, chunk, total)."""
+        n_dev = self.mesh.shape["data"] if self.mesh is not None else 1
+        per_step = max(1, self.forward_chunk) * n_dev
+        n_chunks = max(1, -(-n_fwd // per_step))
+        chunk = -(-n_fwd // n_chunks)
+        chunk = -(-chunk // n_dev) * n_dev
+        return n_chunks, chunk, n_chunks * chunk
+
+    def _graph(self, t_pad: int, k_num: int, n_fwd: int, fuse_method: str,
+               mono: bool):
         """Per-key once-guard (utils/concurrency.get_or_build): the first
-        caller for a (t_pad, k_num, fuse, mono) key builds; a concurrent
-        second caller blocks on its Future instead of running a duplicate
-        XLA trace/compile (expensive on this 1-core host)."""
+        caller for a (t_pad, k_num, n_fwd, fuse, mono) key builds; a
+        concurrent second caller blocks on its Future instead of running a
+        duplicate XLA trace/compile (expensive on this 1-core host)."""
         from echoflow.utils.concurrency import get_or_build
 
-        key = (t_pad, k_num, fuse_method, mono)
+        key = (t_pad, k_num, n_fwd, fuse_method, mono)
         return get_or_build(
             self._compiled, self._cache_lock, key,
-            lambda: self._build_graph(t_pad, k_num, fuse_method, mono))
+            lambda: self._build_graph(t_pad, k_num, n_fwd, fuse_method, mono))
 
-    def _build_graph(self, t_pad: int, k_num: int, fuse_method: str,
-                     mono: bool = False):
+    def _build_graph(self, t_pad: int, k_num: int, n_fwd: int,
+                     fuse_method: str, mono: bool = False):
         c_max = t_pad // CLIP_LEN
         n_clips = k_num * c_max
         mesh = self.mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_dev = mesh.shape["data"]
-            # Per-device chunking: each lax.map step forwards up to
-            # forward_chunk clips *per device*; the clip batch is padded to
-            # a device-count multiple so the shard is even.
-            chunk = min(self.forward_chunk * n_dev,
-                        -(-n_clips // n_dev) * n_dev)
             clip_shard = NamedSharding(mesh, P(None, "data"))
             frame_shard = NamedSharding(mesh, P("data"))
         else:
-            chunk = min(self.forward_chunk, n_clips)
             clip_shard = frame_shard = None
-        n_chunks = -(-n_clips // chunk)
-        pad_clips = n_chunks * chunk - n_clips
+        n_chunks, chunk, total = self._chunk_plan(n_fwd)
         model = self._model
 
         @jax.jit
-        def run(variables, video, fwd, bwd, gather_idx, valid):
+        def run(variables, video, fwd, bwd, gather_idx, valid,
+                clip_src, clip_inv):
             # video (3, T, H, W) — or (1, T, H, W) when `mono` (the host
             # detected identical RGB channels, the normal case for echo
             # AVIs: 3x less tunnel upload and a 3x cheaper shift einsum;
@@ -302,12 +325,16 @@ class VideoSegmenter:
                 # (XLA fuses the broadcast into the consumer's reads).
                 shifted = jnp.broadcast_to(
                     shifted, (k_num, 3, *shifted.shape[2:]))
-            # 2. slice to clips: (K, C, 3, 32, H, W) -> (K*C, 3, 32, H, W)
+            # 2. slice to clips: (K, C, 3, 32, H, W) -> (K*C, 3, 32, H, W),
+            # then keep only the clips that exist (clip_src gathers the
+            # valid slots; padding entries re-point at clip 0, whose junk
+            # output is dropped by clip_inv below). Shifts whose true
+            # length rounds below c_max clips stop paying for the bucket's
+            # padded tail — the forward batch shrinks from K*c_max to
+            # ~sum_k(L_k'/32) clips.
             clips = shifted.reshape(k_num, 3, c_max, CLIP_LEN, h, w)
             clips = jnp.moveaxis(clips, 1, 2).reshape(n_clips, 3, CLIP_LEN, h, w)
-            if pad_clips:
-                clips = jnp.concatenate(
-                    [clips, jnp.zeros((pad_clips, *clips.shape[1:]), clips.dtype)])
+            clips = jnp.take(clips, clip_src, axis=0)  # (total, 3, 32, H, W)
 
             decoder = self.decoder
 
@@ -329,7 +356,14 @@ class VideoSegmenter:
                 # mesh's `data` axis; every device forwards its shard.
                 xs_all = jax.lax.with_sharding_constraint(xs_all, clip_shard)
             probs = jax.lax.map(fwd_chunk, xs_all)
-            probs = probs.reshape(-1, 2, CLIP_LEN, h, w)[:n_clips]
+            # Restore the full k-major (K * c_max) clip grid: clip_inv maps
+            # each grid slot to its forwarded position, out-of-bounds for
+            # slots that were never forwarded -> exact zeros (bit-identical
+            # to the old always-forward layout, whose tail slots met
+            # all-zero bwd columns: 0 * finite == 0 * 0 == +0.0).
+            probs = probs.reshape(-1, 2, CLIP_LEN, h, w)
+            probs = jnp.take(probs, clip_inv, axis=0, mode="fill",
+                             fill_value=0)
 
             # 3. reassemble (K, 2, T', H, W); re-interp to true lengths.
             probs = probs.reshape(k_num, c_max, 2, CLIP_LEN, h, w)
@@ -390,12 +424,27 @@ class VideoSegmenter:
 
         def _build_operands():
             ops = _build_host_operands(length, num_clips, step, t_pad)
+            vidx = ops["valid_clip_idx"]
+            n_valid = len(vidx)
+            # Static forward-batch size: n_valid rounded up to a multiple
+            # of 4 (bounds the compile count to ~3 variants per bucket
+            # instead of one per distinct length), capped at the full grid.
+            n_fwd = min(-(-n_valid // 4) * 4, ops["k_num"] * ops["c_max"])
+            _, _, total = self._chunk_plan(n_fwd)
+            # Forward-gather indices: valid slots, then clip 0 as padding.
+            clip_src = np.zeros(total, np.int32)
+            clip_src[:n_valid] = vidx
+            # Inverse map grid-slot -> forwarded position; slots that were
+            # never forwarded point out of bounds (mode="fill" -> zeros).
+            clip_inv = np.full(ops["k_num"] * ops["c_max"], total, np.int32)
+            clip_inv[vidx] = np.arange(n_valid, dtype=np.int32)
             dev_ops = tuple(
-                jnp.asarray(ops[k])
-                for k in ("fwd", "bwd", "gather_idx", "valid"))
-            return ops["k_num"], dev_ops
+                jnp.asarray(a) for a in
+                (ops["fwd"], ops["bwd"], ops["gather_idx"], ops["valid"],
+                 clip_src, clip_inv))
+            return ops["k_num"], n_fwd, dev_ops
 
-        k_num, dev_ops = get_or_build(
+        k_num, n_fwd, dev_ops = get_or_build(
             self._operand_cache, self._cache_lock, okey, _build_operands,
             lru_cap=self.operand_cache_size)
 
@@ -414,7 +463,7 @@ class VideoSegmenter:
         vid[:, :length] = src
         vid[:, length:] = src[:, -1:]  # replicate-pad: keeps min/max honest
 
-        run = self._graph(t_pad, k_num, fuse_method, mono)
+        run = self._graph(t_pad, k_num, n_fwd, fuse_method, mono)
         fused = run(self.variables, jnp.asarray(vid), *dev_ops)
         return fused, (length, int(video.shape[3]))
 
