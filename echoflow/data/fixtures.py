@@ -86,3 +86,76 @@ def make_synthetic_echonet_root(root: str, n_videos: int = 4,
     pd.DataFrame(file_rows).to_csv(root / "FileList.csv", index=False)
     pd.DataFrame(trace_rows).to_csv(root / "VolumeTracings.csv", index=False)
     return root
+
+
+# ---------------------------------------------------------------------------
+# ITK-fusion golden fixtures (docs/ITK_FUSION_FIDELITY.md).
+#
+# echoflow's SIMPLE/STAPLE fusers (echoflow/ops/fusion.py) are reimplemented
+# from the published algorithms, while the reference calls the ITK-backed
+# `LabelFusion` package (reference src/fuse_utils.py:2,95). Diffing the two
+# needs an environment with SimpleITK + LabelFusion installed — absent here
+# (zero egress; see the memo). These stacks are the agreed exchange format:
+# `benchmarks/make_itk_goldens.py` regenerates the SAME stacks from the SAME
+# seeds in an ITK-capable environment and records ITK's fused outputs;
+# tests/test_fusion.py consumes the resulting goldens file when present.
+# ---------------------------------------------------------------------------
+
+def make_fusion_rater_stacks(height: int = 112, width: int = 112):
+    """Deterministic multi-rater stacks spanning the engine's real operating
+    range (rater counts 2-10, per-rater noise, gross outliers, near-tie
+    splits). Returns [(name, (R, H, W) uint8 stack)], stable across
+    numpy versions (RandomState, not Generator)."""
+    def disk(cy, cx, r):
+        yy, xx = np.mgrid[:height, :width]
+        return (((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r).astype(np.uint8)
+
+    def noisy(rng, truth, n, flip):
+        out = []
+        for _ in range(n):
+            m = truth.copy()
+            flips = rng.rand(*truth.shape) < flip
+            m[flips] = 1 - m[flips]
+            out.append(m)
+        return np.stack(out)
+
+    stacks = []
+    truth = disk(56, 56, 24)
+    for n in (2, 3, 5, 7, 10):
+        rng = np.random.RandomState(1000 + n)
+        stacks.append((f"noisy{n}_flip3", noisy(rng, truth, n, 0.03)))
+    for n in (3, 5, 10):
+        rng = np.random.RandomState(2000 + n)
+        stacks.append((f"noisy{n}_flip10", noisy(rng, truth, n, 0.10)))
+    # Gross outliers: one (or two) raters segment a different structure.
+    for n, n_bad in ((3, 1), (5, 1), (5, 2), (10, 3)):
+        rng = np.random.RandomState(3000 + 10 * n + n_bad)
+        good = noisy(rng, truth, n - n_bad, 0.03)
+        bad = noisy(rng, disk(30, 80, 14), n_bad, 0.03)
+        stacks.append((f"outlier{n}_{n_bad}bad", np.concatenate([good, bad])))
+    # Empty / full degenerate raters mixed in.
+    rng = np.random.RandomState(4000)
+    stacks.append(("with_empty5", np.concatenate(
+        [noisy(rng, truth, 4, 0.03), np.zeros((1, height, width), np.uint8)])))
+    stacks.append(("with_full5", np.concatenate(
+        [noisy(rng, truth, 4, 0.03), np.ones((1, height, width), np.uint8)])))
+    # Near-tie splits: two equal camps disagreeing on a boundary band —
+    # the documented divergence class (split-vote ties).
+    a, b = disk(56, 56, 24), disk(56, 58, 24)
+    stacks.append(("split2", np.stack([a, b])))
+    stacks.append(("split4", np.stack([a, a, b, b])))
+    stacks.append(("split6", np.stack([a, a, a, b, b, b])))
+    # Shifted-ensemble realism: raters are the same beating shape observed
+    # at slightly different phases (what the shift ensemble actually fuses).
+    rng = np.random.RandomState(5000)
+    phases = [disk(56, 56, 20 + 2 * k) for k in range(5)]
+    stacks.append(("phase5", np.stack(
+        [np.where(rng.rand(height, width) < 0.02, 1 - p, p) for p in phases]
+    ).astype(np.uint8)))
+    # Unanimous stack (fusion must be the identity) and concentric raters
+    # (systematic over/under-segmentation rather than iid noise).
+    stacks.append(("agree3", np.stack([truth, truth, truth])))
+    stacks.append(("concentric5", np.stack(
+        [disk(56, 56, r) for r in (20, 22, 24, 26, 28)])))
+    assert len(stacks) == 20
+    return stacks
