@@ -112,10 +112,18 @@ def main(argv=None):
     else:
         if args.data is None:
             raise SystemExit("pass --data or --synthetic")
+        from echoflow.data import qa as data_qa
         from echoflow.data.echonet import EchoNetDynamicDataset
 
         ds = EchoNetDynamicDataset(args.data, split=args.split, clip_length="full",
                                    raise_for_es_ed=False)
+        # Benchmark-protocol special case (fusion notebook cell 6): test
+        # video 1053 is truncated to its first 80 frames before
+        # segmentation. Keyed by test-split dataset index; looked up via
+        # the QA module at run time (the single source of truth for the
+        # hand-audited tables).
+        truncate = (data_qa.TRUNCATED_TEST_INDICES
+                    if args.split.lower() == "test" else {})
 
         def samples():
             n = len(ds) if args.limit is None else min(args.limit, len(ds))
@@ -125,6 +133,9 @@ def main(argv=None):
                 except Exception as exc:
                     print(f"Get exception when trying to read sample {i}: {exc}")
                     continue
+                cut = truncate.get(i)
+                if cut is not None:
+                    video = video[:, :cut]
                 yield fname, video, float(ef), int(ed_ci), int(es_ci), ed_lab, es_lab
 
     # ---------------------------------------------------------------- loop
@@ -137,21 +148,24 @@ def main(argv=None):
         seg = segmenter.segment_video(video, num_clips=args.fuse, step=args.step,
                                       fuse_method=args.fuse_method)
         total_frames += seg.shape[0]
+        # Dice vs the clinical traces is recorded for EVERY readable video,
+        # before the no-beats EF skip — the fusion notebook's protocol
+        # (cell 6 appends lv_ed_dice/lv_es_dice ahead of the EF checks).
+        ed_dices.append(lv_dice(seg[ed_i], ed_lab))
+        es_dices.append(lv_dice(seg[es_i], es_lab))
         efs = compute_ef_using_putative_clips(seg)
         if not efs:
             skipped += 1
             continue
         pred_efs.append(float(np.mean(efs)))
         true_efs.append(true_ef)
-        ed_dices.append(lv_dice(seg[ed_i], ed_lab))
-        es_dices.append(lv_dice(seg[es_i], es_lab))
     elapsed = time.time() - tic
 
     def dice_stats(vals):
         if not vals:
             return {"n": 0}
-        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
-                "median": float(np.median(vals))}
+        return {"n": len(vals), "mean": float(np.mean(vals)),
+                "std": float(np.std(vals)), "median": float(np.median(vals))}
 
     results = {
         "config": {"fuse": args.fuse, "step": args.step,
@@ -162,6 +176,7 @@ def main(argv=None):
         "ed_lv_dice": dice_stats(ed_dices),
         "es_lv_dice": dice_stats(es_dices),
         "wall_clock_sec": round(elapsed, 1),
+        "total_frames": int(total_frames),
         # Accuracy benchmark, NOT a throughput benchmark: the serial loop
         # includes host-side data generation/decoding, Dice, and fp32-pinned
         # (non-default) precision. The throughput figure of record is
