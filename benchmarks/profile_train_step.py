@@ -16,12 +16,24 @@ a single jit — see bench._machine_matmul_tfs):
   ota_grad     - grad of OTA alone (batched 124-warp)
   sgsots_grad  - grad of SGS/OTS alone (the 31-step 4-wide masked scans)
 
-Measured (v5e, batch 4, fp32, 2026-08 round 4):
-  full 344.8 ms ≈ model fwd+bwd 152.1 + loss grads 140.9 + 51.8 overlap/opt
-  full_fused 279.2 ms (-19%): sharing the per-direction flow coordinates
+Measured (v5e, batch 4, fp32, 2026-08 round 4; itemization round 5):
+  full 344.7 ms ≈ model fwd+bwd 152.2 + loss grads 140.6 + 51.9 residual
+  full_fused 279.1 ms (-19%): sharing the per-direction flow coordinates
   between OTA's video warps and the label chains removes most of OTA's
-  standalone cost (ota_grad alone: 9.2 ms batched; in the full unfused
+  standalone cost (ota_grad alone: 8.8 ms batched; in the full unfused
   graph its true cost was ~90 ms, dominated by scheduling, not FLOPs).
+The round-4 "unexplained 52 ms" is now itemized: fwd_loss_bwd (the real
+loss chained into the model backward in ONE graph, no optimizer, no
+metrics) alone measures 344.0 ms — the residual is combined-graph
+SERIALIZATION (serialization_ms 51.2: larger live activation set once the
+loss-grad chain feeds the backward, vs the two parts measured as separate
+graphs), not optimizer or metric cost (adam_ms 4.9; the scan DCEs the dice
+metrics; residual_ms -4.2 ≈ timing noise). Remat (jax.checkpoint on the
+model forward) does NOT reclaim it: full fused step 307.0 ms with remat vs
+278.9 without (the recompute cost exceeds the memory-pressure saving), so
+the fused no-remat schedule stays the default and the 250 ms target is
+not reachable by scheduling alone — the serialization is intrinsic to
+holding the forward's activations across the loss-grad chain.
 Batch 8 → ~linear loss-grad scaling (compute-bound); Adam vs SGD <1 ms;
 component deltas cross-checked by monkeypatch ablation in round 3.
 
@@ -170,6 +182,61 @@ def main():
     results["loss_grad_fused_ms"] = _timed(
         chain_grad(loss_fused_on), seg0, mot0) / chain * 1000
 
+    # ---- itemize the full-vs-parts residual (round-4 verdict item 6) ----
+    # The decomposition above sums INDEPENDENT graphs; the residual
+    # (full - fwd_bwd - loss_grad, 52 ms in round 4) could live in the
+    # optimizer, the scan's state carry, or combined-graph scheduling.
+    # Pin it down with two more chained measurements:
+    #
+    #   fwd_loss_bwd - fwd + the REAL (unfused) loss + bwd through the
+    #                  model, fixed params, no optimizer, no state carry.
+    #                  Captures the serialization cost of chaining the
+    #                  loss-grad into the model backward.
+    #   adam         - tx.update + apply_updates alone on fixed grads
+    #                  (31.6M params), chained with a carry perturbation.
+    from echoflow.train.loop import _loss_fn
+
+    @jax.jit
+    def fwd_loss_bwd(variables, batch):
+        def body(carry, _):
+            vid = batch["video"] + carry * 1e-30
+            b = dict(batch, video=vid)
+
+            def real_loss(params):
+                total, _ = _loss_fn(params, variables["batch_stats"], model,
+                                    b, False, False)
+                return total
+
+            g = jax.grad(real_loss)(variables["params"])
+            probe = sum(jnp.mean(x) for x in jax.tree.leaves(g))
+            return carry + probe, carry
+        return jax.lax.scan(body, 0.0, None, length=chain)[0]
+
+    results["fwd_loss_bwd_ms"] = _timed(
+        fwd_loss_bwd, variables, batch) / chain * 1000
+
+    grads0 = jax.jit(lambda v, b: jax.grad(
+        lambda p: _loss_fn(p, v["batch_stats"], model, b, False, False)[0])(
+            v["params"]))(variables, batch)
+
+    import optax as _optax
+
+    @jax.jit
+    def adam_only(params, opt_state, grads):
+        def body(carry, _):
+            p, o = carry
+            g = jax.tree.map(lambda x: x + jnp.float32(1e-30), grads)
+            updates, o = fx.tx.update(g, o, p)
+            p = _optax.apply_updates(p, updates)
+            return (p, o), 0.0
+        (p, o), _ = jax.lax.scan(body, (params, opt_state), None, length=chain)
+        # Consume EVERY leaf: probing one lets XLA DCE the rest (the Adam
+        # update is elementwise-independent across leaves).
+        return sum(jnp.mean(x) for x in jax.tree.leaves(p))
+
+    results["adam_ms"] = _timed(
+        adam_only, state.params, state.opt_state, grads0) / chain * 1000
+
     def full_fused(state, batch):
         # SAME state/batch as full_ms — only the loss schedule differs, so
         # the comparison is apples-to-apples (and skips a duplicate
@@ -181,6 +248,13 @@ def main():
     results = {k: round(v, 1) for k, v in results.items()}
     results["unexplained_ms"] = round(
         results["full_ms"] - results["fwd_bwd_ms"] - results["loss_grad_ms"], 1)
+    # The itemization of unexplained_ms: combined-graph serialization
+    # (chaining the real loss grad into the model backward) + optimizer.
+    results["serialization_ms"] = round(
+        results["fwd_loss_bwd_ms"] - results["fwd_bwd_ms"]
+        - results["loss_grad_ms"], 1)
+    results["residual_ms"] = round(
+        results["full_ms"] - results["fwd_loss_bwd_ms"] - results["adam_ms"], 1)
     results["config"] = {"batch": args.batch, "chain": args.chain,
                          "backend": jax.default_backend()}
     text = json.dumps(results, indent=1)
