@@ -335,7 +335,12 @@ def main(args):
     mixed_passes = []
     result["mixed_len_passes"] = mixed_passes
     result["mixed_lengths"] = list(MIXED_LENGTHS)
-    for _ in range(3):
+    # 7 passes: each mixed pass is only ~2 s (18 videos), so a 3-pass
+    # median was fragile against single-pass tunnel dips (round-4 capture:
+    # mixed 1270 vs headline 1810 entirely from window noise — per-length
+    # and round-robin streams all measure ~1850-1950 f/s clean now that
+    # the forward runs only the valid clips).
+    for _ in range(7):
         mixed_passes.append(round(_run_stream(segmenter, mixed, 3 * len(mixed)), 1))
         result["mixed_len_fps"] = float(np.median(mixed_passes))
 
