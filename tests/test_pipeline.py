@@ -337,6 +337,13 @@ def trained_model():
 
     path = os.path.join(os.path.dirname(__file__), "..", "save_models",
                         "synthetic_clasfv.pkl")
+    if not os.path.exists(path):
+        # The trained synthetic checkpoint is a generated artifact (126 MB,
+        # too large to commit): `python benchmarks/run_bf16_train_study.py
+        # --save-fp32-checkpoint` (or train_clasfv.py --synthetic) rebuilds
+        # it. Skip rather than error when it has not been generated yet.
+        pytest.skip("synthetic checkpoint not present (generate with "
+                    "benchmarks/run_bf16_train_study.py --save-fp32-checkpoint)")
     return R2Plus1DMotionSegNet(), load_model_variables(path)
 
 
