@@ -421,3 +421,40 @@ def test_shim_segments_from_raw_variables_matches_engine(tiny_model, tiny_engine
     # Engines differ only in chunk/bucket padding, which must not change
     # the masks.
     assert (got != want).mean() <= 1e-3
+
+
+def test_chunk_plan_is_balanced_and_device_even():
+    """The forward chunk plan (pipeline._chunk_plan) must (a) use the
+    fewest chunks of <= forward_chunk clips, (b) BALANCE them — 40 valid
+    clips at forward_chunk=30 forward as 2x20, not 30+10 padded to 2x30 —
+    and (c) with a mesh, round the chunk up to a device-count multiple so
+    the `data`-axis shard is even."""
+    from echoflow.infer.pipeline import VideoSegmenter
+
+    class _FakeMesh:
+        def __init__(self, n):
+            self.shape = {"data": n}
+
+    def plan(n_fwd, forward_chunk, n_dev=None):
+        seg = object.__new__(VideoSegmenter)  # no compile/device work
+        seg.forward_chunk = forward_chunk
+        seg.mesh = _FakeMesh(n_dev) if n_dev else None
+        return seg._chunk_plan(n_fwd)
+
+    assert plan(40, 30) == (2, 20, 40)          # balanced, zero padding
+    assert plan(30, 30) == (1, 30, 30)
+    assert plan(31, 30) == (2, 16, 32)          # 2x16, not 30+1
+    assert plan(1, 30) == (1, 1, 1)
+    assert plan(61, 30) == (3, 21, 63)
+    for n_fwd in range(1, 200):
+        n_chunks, chunk, total = plan(n_fwd, 30)
+        assert chunk <= 30 and total >= n_fwd and n_chunks * chunk == total
+        assert total - n_fwd < n_chunks          # padding < one clip/chunk
+
+    # Mesh: chunk is per-device; totals stay device-even.
+    assert plan(8, 1, n_dev=8) == (1, 8, 8)
+    assert plan(1, 1, n_dev=8) == (1, 8, 8)      # padded shards are inert
+    assert plan(40, 4, n_dev=8) == (2, 24, 48)
+    for n_fwd in range(1, 100):
+        n_chunks, chunk, total = plan(n_fwd, 4, n_dev=8)
+        assert chunk % 8 == 0 and total >= n_fwd
